@@ -1,0 +1,504 @@
+"""ANM continuation drivers.
+
+Counterpart of reference ``libsanm/anm.{h,cpp}``: numerical continuation
+of ``H(x, t) = 0`` by order-N Taylor expansion of the solution curve
+``(x(a), t(a))`` with the Cochelin-style arc-length normalization
+``x_1 . x_1 + t_1^2 = 1`` and per-order orthogonality
+``x_k . x_1 + t_k t_1 = 0`` (``libsanm/anm.cpp:193-312``).
+
+Per continuation step the order-k coefficients satisfy::
+
+    A x_k + gt t_k + b_k = 0,      A = d(remap_out . f . remap_in)/dx
+
+with the *same* A for every k — so A is assembled and factorized once,
+then back-substituted N times (the algorithmic core the reference gets
+from PARDISO and we preserve with TPU factorizations, see
+:mod:`sanm_tpu.solver.linear`).
+
+TPU structure: the entire expansion (order-0 eval, Jacobian assembly,
+factorization, the unrolled order loop of bias-pass / back-substitution
+/ scalar recurrences / commit-pass) is ONE jitted XLA program per
+(model, order).  The data-dependent continuation control flow (restarts,
+Pade acceptance, convergence) stays in host Python, operating on the
+(N+1, n+1) coefficient matrix pulled back once per step — mirroring the
+reference split between ``solve_expansion_coeffs`` and its callers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import polynomial
+from ..pade import PadeApproximation
+from ..taylor import TaylorFn, batched_jacobian, materialize
+from ..utils import (
+    SANMError,
+    SANMNumericalError,
+    ScopedProfiler,
+    sanm_assert,
+    verbose_mode,
+)
+from .linear import DenseFactorSolver
+from .remap import LinearRemap, assemble_dense
+
+
+@dataclass
+class HyperParam:
+    """Reference ``ANMDriverHelper::HyperParam`` (``libsanm/anm.h:100-114``)."""
+
+    use_pade: bool = False
+    sanity_check: bool = True
+    order: int = 8
+    maxr: float = 1e-6
+    solution_check_tol: float = 1e-4
+    xcoeff_l2_penalty: float = 0.0
+
+
+@dataclass
+class EqnHyperParam(HyperParam):
+    """Reference ``ANMEqnSolver::HyperParam`` (``libsanm/anm.h:244-248``)."""
+
+    converge_rms: float = 1e-5
+
+
+class _ANMDriverBase:
+    """Shared continuation machinery (reference ``ANMDriverHelper``)."""
+
+    is_implicit = False
+
+    def __init__(
+        self,
+        fn: Callable,
+        remap_inp: LinearRemap,
+        remap_out: LinearRemap,
+        n_unknown: int,
+        hyper_param: Optional[HyperParam] = None,
+        shard_elems: Optional[Callable] = None,
+    ):
+        self.hp = hyper_param or HyperParam()
+        sanm_assert(self.hp.order >= 2, "order=%d", self.hp.order)
+        self.remap_inp = remap_inp
+        self.remap_out = remap_out
+        self.n = int(n_unknown)
+        self.max_a_bound = polynomial.stable_x_range(self.hp.order)
+        self._shard = shard_elems or (lambda x: x)
+
+        example_gin = jax.ShapeDtypeStruct(
+            remap_inp.out_shape, jnp.float64
+        )
+        self.tfn = TaylorFn(fn, example_gin)
+
+        self._iter = 0
+        self.xt0 = None  # np (n+1,)
+        self.xt_coeffs = None  # np (order+1, n+1)
+        self._t_coeffs = None
+        self._pade = None
+        self._t_max = 0.0
+        self._t_max_a = 0.0
+
+        self._eval_fx_jit = jax.jit(self._eval_fx_impl)
+        self._expand_jit = jax.jit(self._expansion_impl)
+
+    # -- subclass interface ---------------------------------------------------
+    def prepare_inp(self, xt):
+        """Strip or keep the trailing t before remap_inp
+        (reference ``prepare_inp``, ``libsanm/anm.h:173``)."""
+        raise NotImplementedError
+
+    def on_fx0_computed(self, fx) -> bool:
+        raise NotImplementedError
+
+    def _gt_payload(self):
+        """Extra jit argument carrying dH/dt (VecScale: the vector v)."""
+        return np.zeros((self.n,))
+
+    # -- jitted kernels ---------------------------------------------------
+    def _eval_fx_impl(self, xt0):
+        gin = self._shard(self.remap_inp.apply(self.prepare_inp(xt0)))
+        return self.remap_out.apply(self.tfn(gin)).reshape(-1)
+
+    def _expansion_impl(self, xt0, v):
+        hp = self.hp
+        n = self.n
+        eng = self.tfn.engine()
+        gin0 = self._shard(self.remap_inp.apply(self.prepare_inp(xt0)))
+        eng.start(gin0)
+
+        def graph_in_k(xt_k):
+            return self.remap_inp.apply(self.prepare_inp(xt_k))
+
+        coeffs = [xt0]
+        diag_eqn_err = []
+
+        solver = None
+        xgt = x1 = grad_t = None
+        t1 = xgt_dot_x1 = None
+
+        for i in range(1, hp.order + 1):
+            bias = eng.order_bias()
+            if i == 1:
+                if bias is not None:
+                    raise SANMError("order-1 bias must be structurally zero")
+                b_flat = jnp.zeros((n,), xt0.dtype)
+                with ScopedProfiler("build_sparse_coeff"):
+                    jacf = lambda g: self.tfn(g)
+                    J = batched_jacobian(jacf, gin0)
+                    A_full = assemble_dense(
+                        self.remap_out, J, self.remap_in_for_assembly(),
+                        self.remap_inp.inp_size,
+                    )
+                if self.is_implicit:
+                    grad_t = A_full[:, n]
+                    A = A_full[:, :n]
+                else:
+                    grad_t = v
+                    A = A_full
+                with ScopedProfiler("sparse_prep"):
+                    solver = DenseFactorSolver(A, hp.xcoeff_l2_penalty)
+                with ScopedProfiler("sparse_solve"):
+                    xgt = solver.solve(grad_t)
+                # x1 . x1 + t1^2 = 1  (anm.cpp:244-246)
+                t1 = 1.0 / jnp.sqrt(jnp.vdot(xgt, xgt) + 1.0)
+                ti = t1
+                xi = -ti * xgt
+                x1 = xi
+                xgt_dot_x1 = jnp.vdot(x1, xgt)
+            else:
+                b_out = self.remap_out.apply(bias)
+                b_flat = (
+                    jnp.zeros((n,), xt0.dtype)
+                    if b_out is None
+                    else b_out.reshape(-1)
+                )
+                with ScopedProfiler("sparse_solve"):
+                    xbi = solver.solve(b_flat)
+                # x_i . x_1 + t_i t_1 = 0  (anm.cpp:251-254)
+                ti = jnp.vdot(xbi, x1) / (t1 - xgt_dot_x1)
+                xi = -ti * xgt - xbi
+
+            xt_i = jnp.concatenate([xi, ti[None]])
+            coeffs.append(xt_i)
+
+            if hp.sanity_check and not hp.xcoeff_l2_penalty:
+                # A x_i + gt t_i + b_i ~= 0  (anm.cpp:271-285)
+                resid = solver.apply(xi) + grad_t * ti + b_flat
+                scale = jnp.maximum(
+                    jnp.linalg.norm(grad_t * ti + b_flat), 1e-30
+                )
+                diag_eqn_err.append(jnp.linalg.norm(resid) / scale)
+
+            if i < hp.order:
+                eng.push(graph_in_k(xt_i))
+
+        diag = (
+            jnp.stack(diag_eqn_err)
+            if diag_eqn_err
+            else jnp.zeros((0,), xt0.dtype)
+        )
+        return jnp.stack(coeffs), diag
+
+    def remap_in_for_assembly(self):
+        """Remap used for system assembly; for the implicit driver the
+        input remap includes the extra t column which assemble_dense
+        splits off (reference ``ANMImplicitSolver::build_sparse_coeff``,
+        ``libsanm/anm.cpp:520-608``)."""
+        return self.remap_inp
+
+    # -- host control -----------------------------------------------------
+    def init_xt0(self, x, t):
+        x = np.asarray(x).reshape(-1)
+        sanm_assert(x.size == self.n)
+        self.xt0 = np.concatenate([x, [float(t)]])
+
+    def solve_expansion_coeffs(self):
+        with ScopedProfiler("solve_expansion_coeffs", block=True):
+            fx = self._eval_fx_jit(jnp.asarray(self.xt0))
+            if not self.on_fx0_computed(np.asarray(fx)):
+                self.xt_coeffs = self.xt0[None, :]
+                return
+            coeffs, diag = self._expand_jit(
+                jnp.asarray(self.xt0), jnp.asarray(self._gt_payload())
+            )
+            coeffs = np.asarray(coeffs)
+            diag = np.asarray(diag)
+        if self.hp.sanity_check and diag.size:
+            worst = float(diag.max())
+            if not np.isfinite(worst) or worst > 1e-4:
+                raise SANMNumericalError(
+                    "ANM coefficient equation check failed: rel err %g"
+                    % worst
+                )
+            # orthogonality checks (anm.cpp:279-284); relative to the
+            # coefficient magnitudes since high-order terms can be huge
+            d = coeffs[1:] @ coeffs[1]
+            if abs(d[0] - 1) > 1e-4:
+                raise SANMNumericalError("|x1|^2+t1^2 != 1: %g" % d[0])
+            scales = np.linalg.norm(coeffs[2:], axis=1) * np.linalg.norm(
+                coeffs[1]
+            ) + 1e-30
+            if len(d) > 1 and (np.abs(d[1:]) / scales).max() > 1e-4:
+                raise SANMNumericalError(
+                    "orthogonality violated: %g"
+                    % (np.abs(d[1:]) / scales).max()
+                )
+        self.xt_coeffs = coeffs
+        self._estimate_valid_range()
+        self._iter += 1
+        if verbose_mode():
+            print(
+                "ANM iter %d: bound=%g t_max=%g |x_k|=%s"
+                % (
+                    self._iter,
+                    self._t_max_a,
+                    self._t_max,
+                    [float(np.linalg.norm(c)) for c in coeffs],
+                )
+            )
+
+    def _estimate_valid_range(self):
+        """Reference ``estimate_valid_range`` (``libsanm/anm.cpp:117-154``):
+        a_max = (maxr * |x_1| / |x_N|)^(1/(N-1)), optionally extended by
+        the Pade approximant."""
+        coeffs = self.xt_coeffs
+        x1n = float(np.linalg.norm(coeffs[1]))
+        xback = max(float(np.linalg.norm(coeffs[-1])), 1e-15)
+        a_bound = (self.hp.maxr / xback * x1n) ** (
+            1.0 / (self.hp.order - 1)
+        )
+        a_bound = min(a_bound, self.max_a_bound)
+        self._t_coeffs = coeffs[:, -1].copy()
+        if not self._t_coeffs[1] > 0:
+            raise SANMNumericalError(
+                "t does not increase: t1=%g" % self._t_coeffs[1]
+            )
+        self._t_max_a = a_bound
+        self._t_max = polynomial.eval_poly(self._t_coeffs, a_bound)
+        if self._t_max <= self._t_coeffs[0]:
+            raise SANMNumericalError(
+                "t does not increase at iter %d: t0=%g tmax=%g bound=%g"
+                % (self._iter, self._t_coeffs[0], self._t_max, a_bound)
+            )
+
+        self._pade = None
+        if self.hp.use_pade and a_bound < self.max_a_bound:
+            with ScopedProfiler("pade_build"):
+                pade = PadeApproximation(
+                    self.xt_coeffs,
+                    anm_cond=not self.hp.xcoeff_l2_penalty,
+                )
+            with ScopedProfiler("pade_est"):
+                ok = pade.ok and pade.estimate_valid_range(
+                    a_bound, self.hp.maxr, self.max_a_bound
+                )
+            if ok:
+                self._pade = pade
+                self._t_max_a = pade.t_max_a
+                self._t_max = pade.t_max
+
+    # -- public API (reference ANMDriverHelper public section) -------------
+    def get_t_upper(self):
+        return self._t_max
+
+    def get_t_max_a(self):
+        return self._t_max_a
+
+    def get_t0(self):
+        return float(self._t_coeffs[0])
+
+    def get_nr_iter(self):
+        return self._iter
+
+    def eval_xt(self, a):
+        if self._pade is not None:
+            return self._pade.eval_xt(a)
+        return polynomial.eval_tensor_poly(self.xt_coeffs, a)
+
+    def eval(self, a):
+        xt = self.eval_xt(a)
+        return xt[: self.n], float(xt[self.n])
+
+    def solve_a(self, t):
+        """Find a such that t(a) = t (reference ``anm.cpp:174-191``)."""
+        if t == self._t_max:
+            return self._t_max_a
+        if self._pade is not None:
+            return self._pade.solve_a(t)
+        sanm_assert(t >= self._t_coeffs[0] and t < self._t_max)
+        lo, hi = (0.0, self._t_max_a) if self._t_max_a > 0 else (
+            -self._t_max_a,
+            0.0,
+        )
+        return polynomial.solve_eqn(self._t_coeffs, lo, hi, t)
+
+    def update_approx(self):
+        """Move the start point to the end of the validated range and
+        re-expand (reference ``anm.cpp:156-159``)."""
+        self.xt0 = np.asarray(self.eval_xt(self._t_max_a))
+        self.solve_expansion_coeffs()
+
+
+class ANMSolverVecScale(_ANMDriverBase):
+    """Solve f(x) + t*v = 0 for the curve x(t)
+    (reference ``ANMSolverVecScale``, ``libsanm/anm.cpp:319-443``)."""
+
+    def __init__(
+        self,
+        fn,
+        remap_inp,
+        remap_out,
+        x0,
+        t0,
+        v,
+        hyper_param=None,
+        shard_elems=None,
+        _defer_init=False,
+    ):
+        x0 = np.asarray(x0).reshape(-1)
+        super().__init__(
+            fn,
+            remap_inp,
+            remap_out,
+            x0.size,
+            hyper_param,
+            shard_elems,
+        )
+        self.v = None if v is None else np.asarray(v).reshape(-1)
+        if self.v is not None:
+            sanm_assert(self.v.size == self.remap_out.n_out)
+        self.init_xt0(x0, t0)
+        if not _defer_init:
+            self.solve_expansion_coeffs()
+
+    def prepare_inp(self, xt):
+        return xt[: self.n]
+
+    def _gt_payload(self):
+        return self.v
+
+    def on_fx0_computed(self, fx) -> bool:
+        self._check_t0v_match(fx)
+        return True
+
+    def _check_t0v_match(self, fx):
+        """f(x0) + t0*v = 0 must hold at the start point
+        (reference ``check_t0v_match``, ``libsanm/anm.cpp:343-360``)."""
+        t0 = float(self.xt0[self.n])
+        a = fx.reshape(-1)
+        b = self.v * t0
+        maxerr = (
+            np.maximum(np.minimum(np.abs(a), np.abs(b)), 1.0)
+            * self.hp.solution_check_tol
+        )
+        bad = np.abs(a + b) > maxerr
+        if bad.any():
+            i = int(np.argmax(np.abs(a + b)))
+            raise SANMNumericalError(
+                "f(x0)+t0*v is not zero: lhs=%g rhs=%g idx=%d iter=%d"
+                % (a[i], b[i], i, self._iter)
+            )
+
+
+class ANMEqnSolver(ANMSolverVecScale):
+    """Solve f(x) + y = 0 with error-correcting restarts
+    (reference ``ANMEqnSolver``, ``libsanm/anm.cpp:445-491``).
+
+    Each restart expands the homotopy f(x) + t*(f(x0)+y) = f(x0) from
+    t=0; reaching t=1 solves the equation, and restarting from the
+    current point re-targets the *remaining* residual — this restart IS
+    the error-correction mechanism."""
+
+    def __init__(
+        self, fn, remap_inp, remap_out, x0, y, hyper_param=None,
+        shard_elems=None,
+    ):
+        hp = hyper_param or EqnHyperParam()
+        self._converge_rms = getattr(hp, "converge_rms", 1e-5)
+        self._converged = False
+        self._residual_rms = np.inf
+        self.eqn_y = np.asarray(y).reshape(-1)
+        super().__init__(
+            fn, remap_inp, remap_out, x0, 0.0, None, hp,
+            shard_elems, _defer_init=True,
+        )
+        sanm_assert(self.eqn_y.size == self.remap_out.n_out)
+        self.solve_expansion_coeffs()
+
+    def on_fx0_computed(self, fx) -> bool:
+        if self._converged:
+            return False
+        self.v = fx.reshape(-1) + self.eqn_y
+        self._residual_rms = float(
+            np.sqrt(np.mean(self.v * self.v))
+        )
+        if self._residual_rms < self._converge_rms:
+            self._converged = True
+            return False
+        return True
+
+    def next_iter(self):
+        """Reference ``ANMEqnSolver::next_iter`` (``anm.cpp:464-478``)."""
+        if self._converged:
+            return self
+        a = self.solve_a(1.0) if self.get_t_upper() >= 1.0 else (
+            self.get_t_max_a()
+        )
+        self.xt0 = np.asarray(self.eval_xt(a))
+        self.xt0[self.n] = 0.0  # reset t0
+        self.solve_expansion_coeffs()
+        return self
+
+    def residual_rms(self):
+        return self._residual_rms
+
+    def converged(self):
+        return self._converged
+
+    def get_x(self):
+        return self.xt0[: self.n]
+
+
+class ANMImplicitSolver(_ANMDriverBase):
+    """Solve F(x, t) = F(x0, t0) where F maps R^(n+1) -> R^n, t increasing
+    from t0 (reference ``ANMImplicitSolver``, ``libsanm/anm.cpp:493-615``).
+    The extra unknown t is the last input of remap_inp; its assembled
+    column becomes grad_t."""
+
+    is_implicit = True
+
+    def __init__(
+        self, fn, remap_inp, remap_out, x0, t0, hyper_param=None,
+        shard_elems=None,
+    ):
+        x0 = np.asarray(x0).reshape(-1)
+        sanm_assert(remap_inp.inp_size == x0.size + 1)
+        super().__init__(
+            fn, remap_inp, remap_out, x0.size, hyper_param, shard_elems
+        )
+        self._fx0 = None
+        self.init_xt0(x0, t0)
+        self.solve_expansion_coeffs()
+
+    def prepare_inp(self, xt):
+        return xt
+
+    def on_fx0_computed(self, fx) -> bool:
+        if self._fx0 is None:
+            self._fx0 = fx.copy()
+        else:
+            scale = np.maximum(
+                np.maximum(np.abs(self._fx0), np.abs(fx)), 1.0
+            )
+            err = float(np.max(np.abs(self._fx0 - fx) / scale))
+            if err > self.hp.solution_check_tol:
+                raise SANMNumericalError(
+                    "check f(x0,t0)=f(x,t) failed: rel err %g" % err
+                )
+        return True
+
+    def fx0(self):
+        return self._fx0

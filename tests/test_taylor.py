@@ -1,0 +1,384 @@
+"""Per-operator Taylor propagation property tests.
+
+Port of the reference test strategy (``tests/symbolic.cpp:89-137``,
+``check_taylor_prop``): for every order k the engine must satisfy the
+defining affine invariant  f_k == J @ x_k + b_k,  and the truncated
+series must match plain evaluation of the function at sample points.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sanm_tpu import taylor
+from sanm_tpu.ops import (
+    batched_det,
+    batched_inv,
+    batched_mul_eye,
+    batched_transpose,
+    svd_w,
+    polar_w,
+)
+from helper import tensor_rng, require_tensor_eq
+
+
+def eval_series(coeffs, a):
+    acc = np.zeros_like(np.asarray(coeffs[0]))
+    for c in reversed(coeffs):
+        acc = acc * a + (0.0 if c is None else np.asarray(c))
+    return acc
+
+
+def apply_jacobian(J, x_k):
+    # J: (B, odim, idim), x_k: (B, *in_inner) -> (B, odim)
+    B = x_k.shape[0]
+    return jnp.einsum("boi,bi->bo", J, x_k.reshape(B, -1))
+
+
+def check_taylor_prop(
+    fn,
+    xarr,
+    avals,
+    eps_coeff=1e-7,
+    eps_eval=1e-5,
+    batched=True,
+):
+    """xarr: list of input coefficient arrays (order 0..N).
+
+    The whole propagation runs inside one jit (as in the real drivers);
+    host-side asserts check the per-order affine invariant and
+    series-vs-eval agreement."""
+    tfn = taylor.TaylorFn(fn, jnp.asarray(xarr[0]))
+
+    def full(x0, xks):
+        eng = tfn.engine()
+        y0 = eng.start(x0)
+        out_shape = y0.shape
+        ys, bs = [y0], []
+        for xk in xks:
+            bk = eng.order_bias()
+            yk = eng.push(xk)
+            ys.append(jnp.zeros(out_shape) if yk is None else yk)
+            bs.append(jnp.zeros(out_shape) if bk is None else bk)
+        J = (
+            taylor.batched_jacobian(fn, x0)
+            if batched
+            else jnp.zeros(())
+        )
+        return jnp.stack(ys), jnp.stack(bs), J
+
+    x0 = jnp.asarray(xarr[0])
+    xks = [jnp.asarray(x) for x in xarr[1:]]
+    yarr, barr, J = jax.jit(full)(x0, xks)
+    yarr, barr = np.asarray(yarr), np.asarray(barr)
+    out_shape = yarr.shape[1:]
+
+    if batched:
+        for k in range(1, len(xarr)):
+            lin = np.asarray(apply_jacobian(J, jnp.asarray(xarr[k]))).reshape(
+                out_shape
+            )
+            require_tensor_eq(
+                lin + barr[k - 1],
+                yarr[k],
+                eps_coeff,
+                msg=f"affine invariant at order {k}",
+            )
+
+    for a in avals:
+        xt = eval_series(xarr, a)
+        yt = eval_series(list(yarr), a)
+        yget = np.asarray(tfn(jnp.asarray(xt)))
+        require_tensor_eq(yt, yget, eps_eval, msg=f"series vs eval at a={a}")
+
+
+def _zeros_tail(xarr, n):
+    return xarr + [np.zeros_like(xarr[0])] * n
+
+
+# ---------------------------------------------------------------------------
+
+
+class TestElemwise:
+    def test_mul_square(self):
+        xarr = [tensor_rng((5, 4), 0.5, 2.0) for _ in range(4)]
+        check_taylor_prop(lambda x: x * x, _zeros_tail(xarr, 4), [0.05, -0.05])
+
+    def test_mul_three_way(self):
+        xarr = [tensor_rng((5, 4), 0.5, 2.0) for _ in range(4)]
+        check_taylor_prop(
+            lambda x: (x * 2.0 + 1.0) * (x - 0.5) * x,
+            _zeros_tail(xarr, 4),
+            [0.05, -0.05],
+        )
+
+    def test_div(self):
+        xarr = [tensor_rng((5, 4), 1.0, 2.0) for _ in range(4)]
+        check_taylor_prop(
+            lambda x: (x + 1.0) / (x * x + 0.5),
+            _zeros_tail(xarr, 4),
+            [0.02, -0.02],
+        )
+
+    @pytest.mark.parametrize("p", [2.3, -1.0, 0.5, -5.0 / 3.0])
+    def test_pow(self, p):
+        xarr = [tensor_rng((5, 4), 1.0, 2.0) for _ in range(4)]
+        check_taylor_prop(
+            lambda x: x**p, _zeros_tail(xarr, 4), [0.02, -0.02]
+        )
+
+    @pytest.mark.parametrize("n", [2, 3, 5, 6, 8, 15])
+    def test_integer_pow(self, n):
+        # includes exact zeros in x0 — the conv path must handle them
+        # (reference zero-base integer power,
+        # libsanm/analytic_unary.cpp:105-131)
+        xarr = [tensor_rng((5, 4), -1.0, 1.0) for _ in range(5)]
+        xarr[0][0, 0] = 0.0
+        xarr[0][1, 2] = 0.0
+        check_taylor_prop(
+            lambda x: x**n, _zeros_tail(xarr, 4), [0.05, -0.05], eps_eval=1e-4
+        )
+
+    def test_log(self):
+        xarr = [tensor_rng((5, 4), 1.0, 3.0) for _ in range(4)]
+        check_taylor_prop(
+            lambda x: jnp.log(x), _zeros_tail(xarr, 4), [0.05, -0.05]
+        )
+
+    def test_exp_sqrt(self):
+        xarr = [tensor_rng((5, 4), 0.5, 1.5) for _ in range(4)]
+        check_taylor_prop(
+            lambda x: jnp.exp(x) + jnp.sqrt(x * x + 1.0),
+            _zeros_tail(xarr, 4),
+            [0.05, -0.05],
+        )
+
+    def test_pow_log_pow_composition(self):
+        # mirrors Symbolic.GeneralSolve pow-log-pow
+        # (tests/symbolic.cpp:595-607)
+        xarr = [tensor_rng((10, 20), 1.5, 4.3) for _ in range(4)]
+        check_taylor_prop(
+            lambda x: jnp.log(x**2.3) ** 1.5,
+            _zeros_tail(xarr, 6),
+            [0.02, -0.02],
+        )
+
+    def test_reduce_and_broadcast(self):
+        xarr = [tensor_rng((5, 3, 3), 0.5, 1.5) for _ in range(4)]
+
+        def fn(x):
+            ic = jnp.sum(x**2, axis=(1, 2))  # (B,)
+            return x * ic[:, None, None]
+
+        check_taylor_prop(fn, _zeros_tail(xarr, 4), [0.03, -0.03])
+
+
+class TestLinalg:
+    def test_matmul(self):
+        xarr = [tensor_rng((5, 3, 3), -1, 1) for _ in range(4)]
+        check_taylor_prop(
+            lambda x: jnp.einsum("bij,bjk->bik", x, x),
+            _zeros_tail(xarr, 4),
+            [0.05, -0.05],
+        )
+
+    def test_det_3x3(self):
+        # port of Symbolic determinant Taylor tests
+        # (tests/symbolic.cpp:324-360)
+        xarr = [tensor_rng((6, 3, 3), -1, 1) for _ in range(5)]
+        xarr[0] += 3 * np.eye(3)
+        check_taylor_prop(
+            batched_det, _zeros_tail(xarr, 5), [0.03, -0.03]
+        )
+
+    def test_inv_3x3(self):
+        xarr = [tensor_rng((6, 3, 3), -1, 1) for _ in range(4)]
+        xarr[0] += 3 * np.eye(3)
+        check_taylor_prop(
+            batched_inv, _zeros_tail(xarr, 5), [0.02, -0.02]
+        )
+
+    def test_log_det_composite(self):
+        # port of Symbolic.LogDetTaylorProp (tests/symbolic.cpp:640-656)
+        # y = log(det(x^T x)) for (B, 3, 3)
+        xarr = [tensor_rng((10, 3, 3), -1, 1) for _ in range(5)]
+        xarr[0] += 3 * np.eye(3)
+
+        def fn(x):
+            return jnp.log(batched_det(jnp.einsum("bji,bjk->bik", x, x)))
+
+        check_taylor_prop(fn, _zeros_tail(xarr, 8), [0.01, -0.01])
+
+    def test_mul_eye_combination(self):
+        xarr = [tensor_rng((4, 3, 3), -1, 1) for _ in range(4)]
+        xarr[0] += 2.5 * np.eye(3)
+
+        def fn(x):
+            j = batched_det(x)
+            return x * j[:, None, None] ** (-2.0 / 3.0) + batched_mul_eye(
+                j * 0.5 - 1.0, 3
+            )
+
+        check_taylor_prop(fn, _zeros_tail(xarr, 5), [0.02, -0.02])
+
+
+class TestSvdW:
+    @pytest.mark.parametrize("rot", [False, True])
+    def test_polar_decomp_prop(self, rot):
+        # port of Symbolic.PolarDecompTaylorProp (tests/symbolic.cpp:658-676)
+        batch, n = 7, 3
+        xarr = [tensor_rng((batch, n, n), -1, 1) for _ in range(5)]
+        xarr[0] = eval_series(xarr, 0.03)
+
+        def fn(x):
+            return x - svd_w(x, rot)[2]
+
+        check_taylor_prop(
+            fn, _zeros_tail(xarr, 16), [0.01, -0.01, 0.02], eps_coeff=1e-6,
+            eps_eval=1e-3,
+        )
+
+    def test_pw_mode_matches_full_mode(self):
+        # polar_w leaves u,s unused -> pw mode; using all outputs -> full
+        # mode.  The W series must agree (reference pw_mode switch,
+        # libsanm/oprs/linalg.cpp:529-541).
+        batch, n = 5, 3
+        xarr = [tensor_rng((batch, n, n), -1, 1) for _ in range(4)]
+        xarr[0] = eval_series(xarr, 0.05) + 2 * np.eye(3)
+        xs = _zeros_tail(xarr, 6)
+
+        def fn_pw(x):
+            return x - polar_w(x, True)
+
+        def fn_full(x):
+            u, s, w = svd_w(x, True)
+            # touch u and s so the full mode is selected
+            return (
+                x
+                - w
+                + 0.0 * u
+                + 0.0 * jnp.broadcast_to(s[:, None, :], x.shape)
+            )
+
+        def run(fn):
+            tfn = taylor.TaylorFn(fn, jnp.asarray(xs[0]))
+
+            def full(x0, xks):
+                eng = tfn.engine()
+                out = [eng.start(x0)]
+                for xk in xks:
+                    eng.order_bias()
+                    yk = eng.push(xk)
+                    out.append(
+                        jnp.zeros_like(out[0]) if yk is None else yk
+                    )
+                return jnp.stack(out)
+
+            return np.asarray(
+                jax.jit(full)(
+                    jnp.asarray(xs[0]), [jnp.asarray(x) for x in xs[1:]]
+                )
+            )
+
+        for a, b in zip(run(fn_pw), run(fn_full)):
+            # agreement is relative to the O(1) coefficient scale; tiny
+            # entries accumulate ~1e-10 absolute clip_div noise
+            require_tensor_eq(a, b, 1e-5, margin=1e-3, msg="pw vs full")
+
+    def test_svd_w_primal(self):
+        m = tensor_rng((20, 3, 3), -1, 1)
+        u, s, w = [np.asarray(t) for t in svd_w(jnp.asarray(m), True)]
+        # reconstruction
+        rec = np.einsum("bij,bj,bkj,bkl->bil", u, s, u, w)
+        require_tensor_eq(rec, m, 1e-8, msg="usu^Tw reconstruction")
+        # orthogonality
+        require_tensor_eq(
+            np.einsum("bji,bjk->bik", u, u),
+            np.broadcast_to(np.eye(3), (20, 3, 3)),
+            1e-8,
+            msg="U orthogonal",
+        )
+        require_tensor_eq(
+            np.einsum("bji,bjk->bik", w, w),
+            np.broadcast_to(np.eye(3), (20, 3, 3)),
+            1e-8,
+            msg="W orthogonal",
+        )
+        detw = np.linalg.det(w)
+        require_tensor_eq(detw, np.ones(20), 1e-8, msg="det(W)=1")
+
+    def test_svd_w_primal_reflection(self):
+        # matrices with negative determinant still give det(W)=1 under
+        # require_rotation (negated singular value)
+        m = tensor_rng((16, 3, 3), -1, 1)
+        m[: 8] = -m[: 8]
+        mdet = np.linalg.det(m)
+        u, s, w = [np.asarray(t) for t in svd_w(jnp.asarray(m), True)]
+        rec = np.einsum("bij,bj,bkj,bkl->bil", u, s, u, w)
+        require_tensor_eq(rec, m, 1e-8, msg="reconstruction")
+        require_tensor_eq(
+            np.linalg.det(w), np.ones(16), 1e-8, msg="det(W)=1"
+        )
+        # negative-det matrices must have exactly one negative group
+        assert np.all((np.min(s, 1) < 0) == (mdet < 0))
+
+    def test_svd_w_jvp_fd(self):
+        # finite-difference check of the analytic JVP (the reference
+        # validates the same derivatives with a NumPy oracle,
+        # utils/test_svdw_grad.py)
+        m = jnp.asarray(tensor_rng((6, 3, 3), -1, 1)) + 2 * jnp.eye(3)
+        dm = jnp.asarray(tensor_rng((6, 3, 3), -0.5, 0.5))
+
+        def f(x):
+            return svd_w(x, False)
+
+        (u, s, w), (du, ds, dw) = jax.jvp(f, (m,), (dm,))
+        eps = 1e-6
+        u2, s2, w2 = f(m + eps * dm)
+        u1, s1, w1 = f(m - eps * dm)
+        require_tensor_eq(
+            (np.asarray(s2) - np.asarray(s1)) / (2 * eps),
+            np.asarray(ds),
+            1e-4,
+            msg="ds",
+        )
+        require_tensor_eq(
+            (np.asarray(w2) - np.asarray(w1)) / (2 * eps),
+            np.asarray(dw),
+            1e-4,
+            msg="dw",
+        )
+        require_tensor_eq(
+            (np.asarray(u2) - np.asarray(u1)) / (2 * eps),
+            np.asarray(du),
+            1e-4,
+            msg="du",
+        )
+
+
+class TestPolymat:
+    @pytest.mark.parametrize("m", [2, 3, 4])
+    @pytest.mark.parametrize("order", [0, 1, 3, 5])
+    def test_vs_numpy_bruteforce(self, m, order):
+        # port of Tensor.PolyMat (tests/tensor.cpp:500)
+        from sanm_tpu.ops.polymat import polymat_det_coeff
+
+        L = 4
+        mats = [tensor_rng((3, m, m), -1, 1) for _ in range(L)]
+        got = np.asarray(
+            polymat_det_coeff([jnp.asarray(x) for x in mats], order)
+        )
+        # brute force: sample-and-fit via numpy polynomial evaluation
+        deg = (L - 1) * m
+        a = np.linspace(-1.0, 1.0, deg + 1)
+        vals = np.stack(
+            [
+                np.linalg.det(sum(mats[t] * (ai**t) for t in range(L)))
+                for ai in a
+            ]
+        )  # (deg+1, B)
+        V = np.vander(a, deg + 1, increasing=True)
+        coeffs = np.linalg.solve(V, vals)  # (deg+1, B)
+        want = coeffs[order] if order <= deg else np.zeros(3)
+        require_tensor_eq(got, want, 1e-6, msg="polymat coeff")
