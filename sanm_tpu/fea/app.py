@@ -68,6 +68,7 @@ def setup_solver_param(config, eqn=False):
     hp.xcoeff_l2_penalty = float(config.get("xcoeff_l2_penalty", 0.0))
     hp.use_pade = not config.get("disable_pade", False)
     hp.sanity_check = not config.get("disable_anm_sanity_check", False)
+    hp.solver = config.get("solver", "auto")
     if eqn:
         hp.converge_rms = RMS_THRESH_FORCE_EQU
     return hp

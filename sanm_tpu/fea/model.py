@@ -97,9 +97,8 @@ class DeformableBody:
         )
         lt_out = ForceOutputRemap(lt_inp)
         bias = jnp.asarray(lt_inp.bias)
-        dm_inv = jnp.asarray(
-            np.asarray(batched_inv(jnp.asarray(self.mesh.shape_matrix)))
-        )
+        # host-side inverse: avoids eager device kernels at build time
+        dm_inv = jnp.asarray(np.linalg.inv(self.mesh.shape_matrix))
         material = self.material
         em = energy_model
 

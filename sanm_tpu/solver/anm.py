@@ -49,7 +49,11 @@ from .remap import LinearRemap, assemble_dense
 
 @dataclass
 class HyperParam:
-    """Reference ``ANMDriverHelper::HyperParam`` (``libsanm/anm.h:100-114``)."""
+    """Reference ``ANMDriverHelper::HyperParam`` (``libsanm/anm.h:100-114``).
+
+    ``solver``: linear-solver backend — "auto" picks a dense TPU
+    factorization for small systems and the host sparse LU for large
+    ones; "cg" selects the device-resident block-Jacobi PCG."""
 
     use_pade: bool = False
     sanity_check: bool = True
@@ -57,6 +61,8 @@ class HyperParam:
     maxr: float = 1e-6
     solution_check_tol: float = 1e-4
     xcoeff_l2_penalty: float = 0.0
+    solver: str = "auto"
+    dense_limit: int = 4608  # max unknowns for the dense path in "auto"
 
 
 @dataclass
@@ -148,18 +154,11 @@ class _ANMDriverBase:
                 with ScopedProfiler("build_sparse_coeff"):
                     jacf = lambda g: self.tfn(g)
                     J = batched_jacobian(jacf, gin0)
-                    A_full = assemble_dense(
-                        self.remap_out, J, self.remap_in_for_assembly(),
-                        self.remap_inp.inp_size,
-                    )
-                if self.is_implicit:
-                    grad_t = A_full[:, n]
-                    A = A_full[:, :n]
-                else:
-                    grad_t = v
-                    A = A_full
+                    asm = self._assembler()
+                    data, gt_asm = asm.assemble_csr(J)
+                grad_t = gt_asm if self.is_implicit else v
                 with ScopedProfiler("sparse_prep"):
-                    solver = DenseFactorSolver(A, hp.xcoeff_l2_penalty)
+                    solver = self._make_solver(asm, data)
                 with ScopedProfiler("sparse_solve"):
                     xgt = solver.solve(grad_t)
                 # x1 . x1 + t1^2 = 1  (anm.cpp:244-246)
@@ -202,12 +201,42 @@ class _ANMDriverBase:
         )
         return jnp.stack(coeffs), diag
 
-    def remap_in_for_assembly(self):
-        """Remap used for system assembly; for the implicit driver the
-        input remap includes the extra t column which assemble_dense
-        splits off (reference ``ANMImplicitSolver::build_sparse_coeff``,
-        ``libsanm/anm.cpp:520-608``)."""
-        return self.remap_inp
+    def _assembler(self):
+        """Lazily built static-topology assembler (host work, once)."""
+        if getattr(self, "_asm", None) is None:
+            B = self.remap_inp.out_shape[0]
+            idim = self.remap_inp.n_out // B
+            odim = self.remap_out.inp_size // B
+            from .remap import SparseAssembler
+
+            self._asm = SparseAssembler(
+                self.remap_out, self.remap_inp, B, odim, idim, self.n
+            )
+        return self._asm
+
+    def _solver_mode(self):
+        mode = self.hp.solver
+        if mode == "auto":
+            mode = "dense" if self.n <= self.hp.dense_limit else "host_lu"
+        return mode
+
+    def _make_solver(self, asm, data):
+        """Factorize once per continuation step (reference
+        ``SparseSolver::prepare``, ``libsanm/sparse_solver.cpp:327-421``)."""
+        mode = self._solver_mode()
+        pen = self.hp.xcoeff_l2_penalty
+        if mode == "dense":
+            A = asm.assemble_dense_from_csr(data)
+            return DenseFactorSolver(A, pen)
+        if mode == "host_lu":
+            from .linear import HostLUSolver
+
+            return HostLUSolver(asm, data, pen)
+        if mode == "cg":
+            from .linear import SparseCG
+
+            return SparseCG(asm, data, l2_penalty=pen)
+        raise SANMError(f"unknown solver mode {mode}")
 
     # -- host control -----------------------------------------------------
     def init_xt0(self, x, t):
