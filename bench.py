@@ -79,10 +79,15 @@ def run_solve():
 
 
 def main():
+    import sanm_tpu
+
     if os.environ.get("SANM_BENCH_CPU"):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        sanm_tpu.enable_compile_cache("bench-cpu")
+    else:
+        sanm_tpu.enable_compile_cache("bench-tpu")
     t_solve, t_first, iters, rms = run_solve()
     if os.environ.get("SANM_BENCH_CPU"):
         print(json.dumps({"cpu_time_solve": t_solve}))

@@ -42,16 +42,20 @@ _jax.config.update("jax_enable_x64", True)
 if _os.environ.get("SANM_PLATFORM"):
     _jax.config.update("jax_platforms", _os.environ["SANM_PLATFORM"])
 
-# Persistent compilation cache: the expansion kernels are large unrolled
-# programs; caching makes repeated runs (and remote-TPU compiles) cheap.
-# Disable with SANM_NO_COMPILE_CACHE=1.
-if not _os.environ.get("SANM_NO_COMPILE_CACHE"):
-    _cache_dir = _os.environ.get(
-        "SANM_COMPILE_CACHE", _os.path.expanduser("~/.cache/sanm_tpu_xla")
+def enable_compile_cache(tag: str = "default") -> None:
+    """Enable the persistent XLA compilation cache.
+
+    The expansion kernels are large unrolled programs; caching makes
+    repeated runs (and especially remote-TPU compiles) cheap.  Called by
+    the CLI and bench entry points; not enabled at import so that test
+    runs switching platforms don't mix cache entries."""
+    cache_dir = _os.environ.get(
+        "SANM_COMPILE_CACHE",
+        _os.path.expanduser("~/.cache/sanm_tpu_xla-%s" % tag),
     )
     try:
-        _os.makedirs(_cache_dir, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _os.makedirs(cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass

@@ -2,13 +2,20 @@
 (counterpart of the reference ``fea`` binary, ``fea/main.cpp:1104-1119``).
 """
 
+import os
 import resource
 import sys
+
+import sanm_tpu
 
 from .app import do_main
 
 
 def main():
+    sanm_tpu.enable_compile_cache(
+        os.environ.get("SANM_PLATFORM")
+        or os.environ.get("JAX_PLATFORMS", "default")
+    )
     try:
         ret = do_main(sys.argv[1:])
     except Exception as e:  # noqa: BLE001

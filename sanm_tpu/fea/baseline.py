@@ -199,6 +199,44 @@ def _solve_dense(H, rhs, spd):
     return sla.solve(H, rhs)
 
 
+def check_hessian_fd(kern: "_Kernels", vtx, eps=1e-6, samples=8, seed=0):
+    """Finite-difference validation of the (unprojected) element-Hessian
+    assembly against the force: H u ~= -(f(v+eps u) - f(v-eps u))/(2 eps).
+
+    Counterpart of the reference's env-gated FD Hessian checker
+    (``fea/baseline/hcheck.cpp:6-77``, enabled by FEA_CHECK,
+    ``baseline/main.cpp:130-146``)."""
+    was_proj = kern.proj
+    kern.proj = False
+    try:
+        nV = vtx.shape[0]
+        H = _assemble_dense_hessian(
+            kern.hess_blocks(jnp.asarray(vtx)), kern.tets, nV
+        )
+        rng = np.random.default_rng(seed)
+        worst = 0.0
+        for _ in range(samples):
+            u = rng.standard_normal(nV * 3)
+            u /= np.linalg.norm(u)
+            fp = np.asarray(
+                kern.forces(jnp.asarray(vtx + eps * u.reshape(nV, 3)))
+            ).reshape(-1)
+            fm = np.asarray(
+                kern.forces(jnp.asarray(vtx - eps * u.reshape(nV, 3)))
+            ).reshape(-1)
+            fd = -(fp - fm) / (2 * eps)
+            hu = H @ u
+            err = np.linalg.norm(fd - hu) / max(np.linalg.norm(hu), 1e-30)
+            worst = max(worst, err)
+        if worst > 1e-4:
+            raise SANMError(
+                "FD Hessian check failed: rel err %g" % worst
+            )
+        return worst
+    finally:
+        kern.proj = was_proj
+
+
 def solve_energy_min(
     elements,
     vtx_init,
@@ -247,6 +285,14 @@ def solve_energy_min(
             kern.hess_blocks(jnp.asarray(v)), tets, nV
         )
         return H[np.ix_(free_flat, free_flat)]
+
+    import os
+
+    if os.environ.get("FEA_CHECK"):
+        # FD Hessian validation, gated like the reference
+        # (baseline/main.cpp:130-146)
+        err = check_hessian_fd(kern, np.asarray(vtx_dst, np.float64))
+        print("FEA_CHECK hessian FD rel err: %g" % err)
 
     vertices = np.asarray(vtx_dst, np.float64).copy()
     stat = BaselineStat()

@@ -314,7 +314,10 @@ class _ANMDriverBase:
             )
 
         self._pade = None
-        if self.hp.use_pade and a_bound < self.max_a_bound:
+        import os
+
+        use_pade = self.hp.use_pade or bool(os.environ.get("SANM_PADE"))
+        if use_pade and a_bound < self.max_a_bound:
             with ScopedProfiler("pade_build"):
                 pade = PadeApproximation(
                     self.xt_coeffs,

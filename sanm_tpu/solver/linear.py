@@ -30,6 +30,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
+import numpy as np
 
 from ..utils import SANMError, sanm_assert
 

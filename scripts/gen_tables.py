@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Aggregate experiment stat JSONs into comparison tables.
+
+Counterpart of the reference's paper-table generator
+(``render/gen_table_figs.py``): geometric-mean speedup of the ANM
+solver over the Newton/LevMar baselines (``gen_table_figs.py:341-375``),
+the Pade benefit in iterations saved (``:341-359``), and per-cell
+timing/accuracy tables.
+
+Usage: python scripts/gen_tables.py results/
+"""
+
+import glob
+import json
+import math
+import os
+import sys
+from collections import defaultdict
+
+
+def load_cells(root):
+    cells = {}
+    for done in glob.glob(os.path.join(root, "*", "done")):
+        cell_dir = os.path.dirname(done)
+        name = os.path.basename(cell_dir)
+        stats = {}
+        for js in glob.glob(os.path.join(cell_dir, "*.json")):
+            try:
+                stats[os.path.basename(js)] = json.load(open(js))
+            except Exception:
+                pass
+        if stats:
+            # prefer the task-level stat (contains time/time_solve)
+            best = None
+            for v in stats.values():
+                if "time_solve" in v or "time" in v:
+                    best = v
+                    break
+            cells[name] = best if best is not None else list(
+                stats.values()
+            )[0]
+    return cells
+
+
+def cell_time(stat):
+    return stat.get("time_solve", stat.get("time", float("nan")))
+
+
+def gmean(xs):
+    xs = [x for x in xs if x > 0 and math.isfinite(x)]
+    if not xs:
+        return float("nan")
+    return math.exp(sum(math.log(x) for x in xs) / len(xs))
+
+
+def main():
+    root = sys.argv[1] if len(sys.argv) > 1 else "results"
+    cells = load_cells(root)
+    if not cells:
+        print("no completed cells under", root)
+        return
+
+    print("=== per-cell results ===")
+    print(f"{'cell':<50} {'time':>9} {'iter':>5} {'force_rms':>10}")
+    for name in sorted(cells):
+        s = cells[name]
+        print(
+            f"{name:<50} {cell_time(s):>9.3f} "
+            f"{s.get('iter', s.get('iter_tot', '-')):>5} "
+            f"{s.get('force_rms_recomp', s.get('force_rms', float('nan'))):>10.2e}"
+        )
+
+    # speedups: sanm vs each baseline on matching (mesh, energy, task)
+    by_key = defaultdict(dict)
+    for name, s in cells.items():
+        parts = name.split("-")
+        # mesh-energy-solver-task; energy/solver may contain '_'
+        # reconstruct: task is last, mesh is first, middle = energy-solver
+        mesh, rest = parts[0], parts[1:]
+        task = rest[-1]
+        mid = "-".join(rest[:-1])
+        for solver in (
+            "sanm_no_pade", "baseline_noproj", "baseline_levmar",
+            "baseline", "sanm",
+        ):
+            if mid.endswith(solver):
+                energy = mid[: -(len(solver) + 1)]
+                by_key[(mesh, energy, task)][solver] = s
+                break
+
+    for base in ("baseline", "baseline_noproj", "baseline_levmar"):
+        ratios = []
+        for key, d in by_key.items():
+            if "sanm" in d and base in d:
+                ratios.append(cell_time(d[base]) / cell_time(d["sanm"]))
+        if ratios:
+            print(
+                f"\ngmean speedup sanm vs {base}: {gmean(ratios):.2f}x "
+                f"({len(ratios)} cells)"
+            )
+
+    # Pade benefit: iterations saved (gen_table_figs.py:341-359)
+    saved = []
+    for key, d in by_key.items():
+        if "sanm" in d and "sanm_no_pade" in d:
+            i0 = d["sanm_no_pade"].get(
+                "iter", d["sanm_no_pade"].get("iter_tot")
+            )
+            i1 = d["sanm"].get("iter", d["sanm"].get("iter_tot"))
+            if i0 is not None and i1 is not None:
+                saved.append(i0 - i1)
+    if saved:
+        mean = sum(saved) / len(saved)
+        print(f"\nPade benefit: {mean:.2f} iterations saved on average "
+              f"({len(saved)} cells)")
+
+
+if __name__ == "__main__":
+    main()

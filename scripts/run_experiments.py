@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark experiment harness.
+
+Counterpart of the reference experiment scripts
+(``render/cmp_with_baseline.sh``, ``render/Makefile.cmp_with_baseline``,
+``render/run_armadillo_exprs.sh``): runs the solver matrix
+
+    {sanm, sanm_no_pade, baseline, baseline_noproj, baseline_levmar}
+      x {arap, neohookean_c, neohookean_i}
+      x meshes x {gravity, deform}
+
+writing each cell's stat JSON under ``--out`` with done-marker
+resumability (reference ``run_armadillo_exprs.sh:19-24``).
+
+Usage:
+    python scripts/run_experiments.py --out results/ \
+        --meshes bar bob --energies neohookean_c --solvers sanm baseline
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIGS = os.path.join(REPO, "configs")
+
+MESH_TASKS = {
+    # mesh name -> (gravity task config, deform override or None)
+    "armadillo_small": ("armadillo_small.json",
+                        "armadillo_small_bend_override.json"),
+    "bar": ("bar.json", None),
+    "bifur3": ("bifur3.json", "bifur3_bend_override.json"),
+    "bob": ("bob.json", "bob_bend_override.json"),
+    "human": ("human.json", "human_bend_override.json"),
+    "plant": ("plant.json", "plant_bend_override.json"),
+}
+
+ENERGY_OVERRIDES = {
+    "arap": "override_arap.json",
+    "neohookean_c": "override_neo_comp.json",
+    "neohookean_i": "override_neo_incomp.json",
+}
+
+SOLVER_OVERRIDES = {
+    "sanm": [],
+    "sanm_no_pade": ["override_no_pade.json"],
+    "baseline": ["override_baseline.json"],
+    "baseline_noproj": ["override_baseline_noproj.json"],
+    "baseline_levmar": ["override_baseline_levmar.json"],
+}
+
+
+def run_cell(out_dir, mesh, energy, solver, task, extra_env):
+    cell = f"{mesh}-{energy}-{solver}-{task}"
+    cell_dir = os.path.join(out_dir, cell)
+    done = os.path.join(cell_dir, "done")
+    if os.path.exists(done):
+        print(f"[skip] {cell}")
+        return True
+    os.makedirs(cell_dir, exist_ok=True)
+    gravity_cfg, deform_cfg = MESH_TASKS[mesh]
+    args = [
+        sys.executable,
+        "-m",
+        "sanm_tpu.fea",
+        os.path.join(CONFIGS, "sys.json"),
+        os.path.join(CONFIGS, gravity_cfg),
+    ]
+    if task == "deform":
+        if deform_cfg is None:
+            print(f"[n/a ] {cell}")
+            return True
+        args.append(os.path.join(CONFIGS, deform_cfg))
+    args.append(os.path.join(CONFIGS, ENERGY_OVERRIDES[energy]))
+    for ov in SOLVER_OVERRIDES[solver]:
+        args.append(os.path.join(CONFIGS, ov))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(extra_env)
+    log = os.path.join(cell_dir, "log.txt")
+    print(f"[run ] {cell}")
+    with open(log, "w") as lf:
+        ret = subprocess.run(
+            args, cwd=cell_dir, env=env, stdout=lf, stderr=subprocess.STDOUT
+        ).returncode
+    if ret == 0:
+        open(done, "w").close()
+        return True
+    print(f"[FAIL] {cell} (exit {ret}); see {log}")
+    return False
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="results")
+    p.add_argument("--meshes", nargs="+", default=["bar", "bob"])
+    p.add_argument(
+        "--energies", nargs="+", default=list(ENERGY_OVERRIDES)
+    )
+    p.add_argument(
+        "--solvers", nargs="+", default=["sanm", "sanm_no_pade", "baseline"]
+    )
+    p.add_argument("--tasks", nargs="+", default=["gravity", "deform"])
+    p.add_argument("--platform", default=None,
+                   help="SANM_PLATFORM override (e.g. cpu)")
+    args = p.parse_args()
+
+    extra_env = {}
+    if args.platform:
+        extra_env["SANM_PLATFORM"] = args.platform
+
+    ok = True
+    for mesh in args.meshes:
+        for energy in args.energies:
+            for solver in args.solvers:
+                for task in args.tasks:
+                    ok &= run_cell(
+                        args.out, mesh, energy, solver, task, extra_env
+                    )
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

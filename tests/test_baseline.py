@@ -77,6 +77,19 @@ def test_levmar_matches_anm():
     require_tensor_eq(stat.vtx, v_anm, 1e-6, msg="levmar vs anm")
 
 
+def test_hessian_finite_difference():
+    # port of the reference FD Hessian checker (hcheck.cpp:6-77)
+    body, _ = make_problem()
+    v = body.mesh.vertices.copy()
+    v[:, 2] *= 0.9
+    kern = baseline._Kernels(
+        body.mesh.tets, body.mesh.vertices,
+        EnergyModel.NEOHOOKEAN_C, MATERIAL, False, 0.0,
+    )
+    err = baseline.check_hessian_fd(kern, v, samples=4)
+    assert err < 1e-4
+
+
 def test_projected_hessian_descent():
     # the eigen-projected Hessian must give a descent direction even in
     # a compressed (indefinite-Hessian) configuration

@@ -1,0 +1,61 @@
+"""Multi-device sharding tests.
+
+Analog of the reference's multithread tier (``tests/symbolic.cpp:631-637``
+re-runs solves under ``set_num_threads(2)`` and requires identical
+results): the ANM solve with the element batch sharded over the 8-device
+virtual mesh must match the unsharded solve.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sanm_tpu.fea import (
+    DeformableBody,
+    EnergyModel,
+    MaterialProperty,
+    TetrahedralMesh,
+)
+from sanm_tpu.fea.app import RMS_THRESH_FORCE_EQU, run_anm_eqn
+from sanm_tpu.parallel import ElemSharding
+from sanm_tpu.solver import ANMEqnSolver
+from sanm_tpu.solver.anm import EqnHyperParam
+from helper import require_tensor_eq
+
+MATERIAL = MaterialProperty.from_young_poisson(1e7, 0.45)
+
+
+def make_problem(nx=5, ny=3, nz=3, spacing=0.025):
+    mesh = TetrahedralMesh.make_cuboid(nx, ny, nz, spacing)
+    body = DeformableBody(MATERIAL, mesh)
+    body.coord_fixed_mask[mesh.vertices[:, 0] <= spacing / 2, :] = True
+    f_load = np.zeros((mesh.nr_vertices, 3))
+    sel = mesh.vertices[:, 0] > (nx - 1) * spacing - spacing / 2
+    f_load[sel, 2] = -30.0
+    return body, f_load
+
+
+def solve(body, f_load, em, shard=None):
+    model = body.make_forward(em)
+    f_sub = model.lt_inp.copy_vtx_values(f_load)
+    hp = EqnHyperParam(order=6, use_pade=True)
+    hp.converge_rms = RMS_THRESH_FORCE_EQU
+    s = ANMEqnSolver(
+        model.fn, model.lt_inp.remap, model.lt_out.remap, model.x0(),
+        f_sub, hp, shard_elems=shard,
+    )
+    return np.asarray(run_anm_eqn(s, progress=False))
+
+
+@pytest.mark.parametrize(
+    "em", [EnergyModel.NEOHOOKEAN_C, EnergyModel.ARAP]
+)
+def test_sharded_solve_matches_unsharded(em):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+    body, f_load = make_problem()
+    ref = solve(body, f_load, em)
+    shard = ElemSharding(jax.devices()[:8])
+    with shard.mesh:
+        got = solve(body, f_load, em, shard=shard)
+    require_tensor_eq(got, ref, 1e-9, msg="sharded vs unsharded")
