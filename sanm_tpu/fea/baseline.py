@@ -173,6 +173,9 @@ class _Kernels:
         self.hess_blocks = jax.jit(hess_blocks)
 
 
+_SPARSE_THRESHOLD = 3000  # dofs beyond which scipy.sparse is used
+
+
 def _assemble_dense_hessian(blocks, tets, nV):
     """Scatter (B, 12, 12) element blocks into a dense (3V, 3V) matrix."""
     H = np.zeros((3 * nV, 3 * nV))
@@ -187,9 +190,36 @@ def _assemble_dense_hessian(blocks, tets, nV):
     return H
 
 
+def _assemble_hessian(blocks, tets, nV, free_flat):
+    """Assemble element blocks and restrict to free dofs; returns a dense
+    ndarray for small systems and a scipy CSR matrix for large ones (the
+    reference always uses sparse PARDISO; we pick by size)."""
+    n = 3 * nV
+    if n <= _SPARSE_THRESHOLD:
+        H = _assemble_dense_hessian(blocks, tets, nV)
+        return H[np.ix_(free_flat, free_flat)]
+    import scipy.sparse as sp
+
+    idx = (tets[:, :, None] * 3 + np.arange(3)[None, None, :]).reshape(
+        -1, 12
+    )
+    rows = np.repeat(idx, 12, axis=1).reshape(-1)
+    cols = np.tile(idx, (1, 12)).reshape(-1)
+    H = sp.coo_matrix(
+        (np.asarray(blocks).reshape(-1), (rows, cols)), shape=(n, n)
+    ).tocsr()
+    keep = np.nonzero(free_flat)[0]
+    return H[keep][:, keep]
+
+
 def _solve_dense(H, rhs, spd):
     import scipy.linalg as sla
+    import scipy.sparse as sp
 
+    if sp.issparse(H):
+        import scipy.sparse.linalg as spla
+
+        return spla.splu(H.tocsc()).solve(rhs)
     if spd:
         try:
             c = sla.cho_factor(H)
@@ -281,10 +311,9 @@ def solve_energy_min(
 
     def hess_free(v, proj):
         kern.proj = proj
-        H = _assemble_dense_hessian(
-            kern.hess_blocks(jnp.asarray(v)), tets, nV
+        return _assemble_hessian(
+            kern.hess_blocks(jnp.asarray(v)), tets, nV, free_flat
         )
-        return H[np.ix_(free_flat, free_flat)]
 
     import os
 
@@ -396,10 +425,9 @@ def solve_force_equ_levmar(
         return (f + f_ext_flat)[free_flat]
 
     def hess_free(v):
-        H = _assemble_dense_hessian(
-            kern.hess_blocks(jnp.asarray(v)), tets, nV
+        return _assemble_hessian(
+            kern.hess_blocks(jnp.asarray(v)), tets, nV, free_flat
         )
-        return H[np.ix_(free_flat, free_flat)]
 
     vertices = vtx_init.copy()
     stat = BaselineStat()

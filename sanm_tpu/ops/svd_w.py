@@ -421,3 +421,102 @@ def _series_conv_T1(xs, ys, k):
 taylor.register_rule(
     svd_w_p, _svd_taylor_rule, lambda eqn: ([True], [False, False, False])
 )
+
+
+# ----------------------------------------------------------------------------
+# scan-mode Taylor rule (buffered history, traced order index k);
+# see sanm_tpu.taylor_scan
+# ----------------------------------------------------------------------------
+
+
+def _svd_scan_rule(engine, carry, eqn, idx, k, in_k, cache, commit):
+    from .. import taylor_scan
+
+    m_var = eqn.invars[0]
+    m_k = in_k[0]
+    u0, s0, w0 = engine.eqn_out0[idx]
+    outs_used = engine.tfn.outs_used[idx]
+    pw_mode = not (outs_used[0] or outs_used[1])
+    v0 = _matmul(jnp.swapaxes(w0, -1, -2), u0)
+    sp = s0[:, :, None] + s0[:, None, :]
+    ud = taylor_scan._ud_dict(engine, carry, idx)
+    mbuf = engine.buf(carry, m_var)
+    m_k_full = materialize(m_k, m_var.aval)
+
+    if pw_mode:
+        # sorted userdata keys: ["P", "W"]
+        Pbuf, Wbuf = ud["P"], ud["W"]
+        if cache is None:
+            bm = engine.buf_conv(carry, mbuf, mbuf, k, combine=_mm_T2)
+            bp = engine.buf_conv(carry, Pbuf, Pbuf, k, combine=_matmul)
+            bpw = engine.buf_conv(carry, Pbuf, Wbuf, k, combine=_matmul)
+            cache = (bm, bp, bpw)
+        bm, bp, bpw = cache
+        c = bm - bp
+        e = _matmul(_T1_mm(u0, c), u0)
+        umv = _matmul(_T1_mm(u0, m_k_full), v0)
+        e = e + umv * s0[:, None, :] + s0[:, :, None] * jnp.swapaxes(
+            umv, -1, -2
+        )
+        z = clip_div(e, sp)
+        p_k = _mm_T2(_matmul(u0, z), u0)
+        resid = m_k_full - _matmul(p_k, w0) - bpw
+        s0inv = clip_div(jnp.ones_like(s0), s0)
+        w_k = _matmul(_mm_T2(u0 * s0inv[:, None, :], u0), resid)
+        ud_update = [p_k, w_k] if commit else None
+        return [None, None, w_k], cache, ud_update
+
+    # full mode; sorted keys: ["PS", "S", "T", "U", "W"]
+    PS, S, T, U, W = ud["PS"], ud["S"], ud["T"], ud["U"], ud["W"]
+    if cache is None:
+        t_part = engine.buf_conv(
+            carry, U, S, k, combine=lambda u, s: u * s[:, None, :]
+        )
+        ps_tail = engine.buf_conv(
+            carry, U, T, k, combine=lambda u_c, t_kc: _mm_T2(t_kc, u_c)
+        )
+        ps_part = _mm_T2(t_part, u0) + ps_tail
+        mb_head = engine.buf_conv(
+            carry, W, PS, k, combine=lambda w_j, ps: _matmul(ps, w_j)
+        )
+        mb = mb_head + _matmul(ps_part, w0)
+        bu = engine.buf_conv(carry, U, U, k, combine=_T1_mm)
+        bw = engine.buf_conv(carry, W, W, k, combine=_T1_mm)
+        cache = (mb, bu, bw, t_part, ps_part)
+    mb, bu, bw, t_part, ps_part = cache
+
+    B, n, _ = u0.shape
+    dtype = u0.dtype
+    e = _matmul(_T1_mm(u0, m_k_full - mb), v0)
+    et = jnp.swapaxes(e, -1, -2)
+    cmat = _matmul(_T1_mm(v0, bw), v0)
+    x = clip_div(e - et - cmat * s0[:, None, :], sp)
+    w_k = _mm_T2(_matmul(u0, x), v0)
+    eqb = jnp.swapaxes(e - s0[:, :, None] * x, -1, -2) + bu * s0[:, None, :]
+    s_k = jnp.diagonal(eqb, axis1=-2, axis2=-1)
+    sm = s0[:, :, None] - s0[:, None, :]
+    yu = jnp.triu(clip_div(eqb, sm), 1)
+    bu_diag = jnp.diagonal(bu, axis1=-2, axis2=-1)
+    y = (
+        yu
+        - jnp.swapaxes(yu, -1, -2)
+        - jnp.tril(bu, -1)
+        - 0.5 * bu_diag[:, :, None] * jnp.eye(n, dtype=dtype)
+    )
+    u_k = _mm_T2(u0, y)
+    ud_update = None
+    if commit:
+        t_k = t_part + u0 * s_k[:, None, :] + u_k * s0[:, None, :]
+        ps_k = ps_part + _mm_T2(t_k - t_part, u0) + _mm_T2(T[0], u_k)
+        # sorted keys order: PS, S, T, U, W
+        ud_update = [ps_k, s_k, t_k, u_k, w_k]
+    return [u_k, s_k, w_k], cache, ud_update
+
+
+def _register_scan_rule():
+    from .. import taylor_scan
+
+    taylor_scan.register_scan_rule(svd_w_p, _svd_scan_rule)
+
+
+_register_scan_rule()

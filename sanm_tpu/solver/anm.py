@@ -63,6 +63,11 @@ class HyperParam:
     xcoeff_l2_penalty: float = 0.0
     solver: str = "auto"
     dense_limit: int = 4608  # max unknowns for the dense path in "auto"
+    # order-loop execution: "unroll" traces every order (transparent,
+    # O(order) program size), "scan" compiles one lax.scan body
+    # (compile-time independent of order; required for large programs on
+    # compile-constrained TPU environments).  "auto" picks by order.
+    loop: str = "auto"
 
 
 @dataclass
@@ -128,6 +133,12 @@ class _ANMDriverBase:
         gin = self._shard(self.remap_inp.apply(self.prepare_inp(xt0)))
         return self.remap_out.apply(self.tfn(gin)).reshape(-1)
 
+    def _loop_mode(self):
+        mode = self.hp.loop
+        if mode == "auto":
+            mode = "scan" if self.hp.order >= 8 else "unroll"
+        return mode
+
     def _expansion_impl(self, xt0, v):
         hp = self.hp
         n = self.n
@@ -138,68 +149,106 @@ class _ANMDriverBase:
         def graph_in_k(xt_k):
             return self.remap_inp.apply(self.prepare_inp(xt_k))
 
-        coeffs = [xt0]
-        diag_eqn_err = []
+        # ---- order 1: Jacobian, assembly, factorization --------------
+        bias = eng.order_bias()
+        if bias is not None:
+            raise SANMError("order-1 bias must be structurally zero")
+        with ScopedProfiler("build_sparse_coeff"):
+            jacf = lambda g: self.tfn(g)
+            J = batched_jacobian(jacf, gin0)
+            asm = self._assembler()
+            data, gt_asm = asm.assemble_csr(J)
+        grad_t = gt_asm if self.is_implicit else v
+        with ScopedProfiler("sparse_prep"):
+            solver = self._make_solver(asm, data)
+        with ScopedProfiler("sparse_solve"):
+            xgt = solver.solve(grad_t)
+        # x1 . x1 + t1^2 = 1  (anm.cpp:244-246)
+        t1 = 1.0 / jnp.sqrt(jnp.vdot(xgt, xgt) + 1.0)
+        x1 = -t1 * xgt
+        xgt_dot_x1 = jnp.vdot(x1, xgt)
+        xt_1 = jnp.concatenate([x1, t1[None]])
 
-        solver = None
-        xgt = x1 = grad_t = None
-        t1 = xgt_dot_x1 = None
+        sanity = hp.sanity_check and not hp.xcoeff_l2_penalty
 
-        for i in range(1, hp.order + 1):
-            bias = eng.order_bias()
-            if i == 1:
-                if bias is not None:
-                    raise SANMError("order-1 bias must be structurally zero")
-                b_flat = jnp.zeros((n,), xt0.dtype)
-                with ScopedProfiler("build_sparse_coeff"):
-                    jacf = lambda g: self.tfn(g)
-                    J = batched_jacobian(jacf, gin0)
-                    asm = self._assembler()
-                    data, gt_asm = asm.assemble_csr(J)
-                grad_t = gt_asm if self.is_implicit else v
-                with ScopedProfiler("sparse_prep"):
-                    solver = self._make_solver(asm, data)
-                with ScopedProfiler("sparse_solve"):
-                    xgt = solver.solve(grad_t)
-                # x1 . x1 + t1^2 = 1  (anm.cpp:244-246)
-                t1 = 1.0 / jnp.sqrt(jnp.vdot(xgt, xgt) + 1.0)
-                ti = t1
-                xi = -ti * xgt
-                x1 = xi
-                xgt_dot_x1 = jnp.vdot(x1, xgt)
-            else:
-                b_out = self.remap_out.apply(bias)
+        def order_step(b_flat):
+            """back-substitution + scalar recurrence for one order k>=2
+            (anm.cpp:251-263)."""
+            with ScopedProfiler("sparse_solve"):
+                xbi = solver.solve(b_flat)
+            ti = jnp.vdot(xbi, x1) / (t1 - xgt_dot_x1)
+            xi = -ti * xgt - xbi
+            return xi, ti
+
+        def eqn_check(xi, ti, b_flat):
+            # A x_i + gt t_i + b_i ~= 0  (anm.cpp:271-285)
+            resid = solver.apply(xi) + grad_t * ti + b_flat
+            scale = jnp.maximum(
+                jnp.linalg.norm(grad_t * ti + b_flat), 1e-30
+            )
+            return jnp.linalg.norm(resid) / scale
+
+        if self._loop_mode() == "unroll":
+            coeffs = [xt0, xt_1]
+            diag_eqn_err = []
+            if sanity:
+                diag_eqn_err.append(
+                    eqn_check(x1, t1, jnp.zeros((n,), xt0.dtype))
+                )
+            for i in range(2, hp.order + 1):
+                eng.push(graph_in_k(coeffs[-1]))
+                b_out = self.remap_out.apply(eng.order_bias())
                 b_flat = (
                     jnp.zeros((n,), xt0.dtype)
                     if b_out is None
                     else b_out.reshape(-1)
                 )
-                with ScopedProfiler("sparse_solve"):
-                    xbi = solver.solve(b_flat)
-                # x_i . x_1 + t_i t_1 = 0  (anm.cpp:251-254)
-                ti = jnp.vdot(xbi, x1) / (t1 - xgt_dot_x1)
-                xi = -ti * xgt - xbi
+                xi, ti = order_step(b_flat)
+                coeffs.append(jnp.concatenate([xi, ti[None]]))
+                if sanity:
+                    diag_eqn_err.append(eqn_check(xi, ti, b_flat))
+            diag = (
+                jnp.stack(diag_eqn_err)
+                if diag_eqn_err
+                else jnp.zeros((0,), xt0.dtype)
+            )
+            return jnp.stack(coeffs), diag
 
+        # ---- scan mode: one compiled body for orders 2..N -------------
+        from ..taylor_scan import ScanEngine
+
+        eng.push(graph_in_k(xt_1))
+        seng = ScanEngine(eng, hp.order)
+        XT = jnp.zeros((hp.order + 1, n + 1), xt0.dtype)
+        XT = XT.at[0].set(xt0).at[1].set(xt_1)
+        diag0 = jnp.zeros((hp.order + 1,), xt0.dtype)
+        if sanity:
+            diag0 = diag0.at[1].set(
+                eqn_check(x1, t1, jnp.zeros((n,), xt0.dtype))
+            )
+
+        def body(state, k):
+            carry, XT, diag = state
+            b_out, caches = seng.order_bias(carry, k)
+            if isinstance(b_out, tuple):
+                raise SANMError("multi-output graphs unsupported in ANM")
+            if b_out is None:
+                oav = self.tfn.jaxpr.outvars[0].aval
+                b_out = jnp.zeros(oav.shape, oav.dtype)
+            b_flat = self.remap_out.apply(b_out).reshape(-1)
+            xi, ti = order_step(b_flat)
             xt_i = jnp.concatenate([xi, ti[None]])
-            coeffs.append(xt_i)
+            XT = XT.at[k].set(xt_i)
+            if sanity:
+                diag = diag.at[k].set(eqn_check(xi, ti, b_flat))
+            carry = seng.push(carry, k, graph_in_k(xt_i), caches)
+            return (carry, XT, diag), None
 
-            if hp.sanity_check and not hp.xcoeff_l2_penalty:
-                # A x_i + gt t_i + b_i ~= 0  (anm.cpp:271-285)
-                resid = solver.apply(xi) + grad_t * ti + b_flat
-                scale = jnp.maximum(
-                    jnp.linalg.norm(grad_t * ti + b_flat), 1e-30
-                )
-                diag_eqn_err.append(jnp.linalg.norm(resid) / scale)
-
-            if i < hp.order:
-                eng.push(graph_in_k(xt_i))
-
-        diag = (
-            jnp.stack(diag_eqn_err)
-            if diag_eqn_err
-            else jnp.zeros((0,), xt0.dtype)
+        state0 = (seng.init_carry(), XT, diag0)
+        (carry, XT, diag), _ = jax.lax.scan(
+            body, state0, jnp.arange(2, hp.order + 1)
         )
-        return jnp.stack(coeffs), diag
+        return XT, diag[1:] if sanity else jnp.zeros((0,), xt0.dtype)
 
     def _assembler(self):
         """Lazily built static-topology assembler (host work, once)."""

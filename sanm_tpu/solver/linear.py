@@ -199,15 +199,16 @@ class HostLUSolver:
                 )
             return np.zeros((), np.int32)
 
-        # ordered: factorization precedes all solves
-        io_callback(
+        # the token creates a data dependency factorize -> every solve,
+        # making the ordering explicit in dataflow (safe inside lax.scan,
+        # where ordered host effects are not permitted)
+        self._token = io_callback(
             factorize_cb,
             jax.ShapeDtypeStruct((), jnp.int32),
             data,
-            ordered=True,
         )
 
-        def solve_cb(b):
+        def solve_cb(tok, b):
             lu, A = HostLUSolver._registry[key]
             rhs = A.T @ np.asarray(b) if pen else np.asarray(b)
             return lu.solve(rhs)
@@ -220,8 +221,8 @@ class HostLUSolver:
         return io_callback(
             self._solve_cb,
             jax.ShapeDtypeStruct((self.n,), b.dtype),
+            self._token,
             b.reshape(-1),
-            ordered=True,
         )
 
     def apply(self, x):

@@ -164,15 +164,14 @@ class SparseAssembler:
         csr_rows = (uk // (self.n + 1)).astype(np.int32)
         self.csr_cols = (uk % (self.n + 1)).astype(np.int32)
         self.csr_rowidx = csr_rows  # COO row index per nnz
-        # slot -> position: nnz position for matrix slots, nnz (dump) else
+        # slot -> position: nnz position for matrix slots, nnz (dump)
+        # else.  Kept as NUMPY so traces never cache tracer constants.
         pos = inv - offset
-        self.slot_pos = jnp.asarray(
-            np.where(mat_slot, pos, self.nnz).astype(np.int32)
-        )
+        self.slot_pos = np.where(mat_slot, pos, self.nnz).astype(np.int32)
         # t-column slots -> row index (grad_t accumulation)
-        self.t_slot_row = jnp.asarray(
-            np.where(alive & is_t, rows, self.n_rows).astype(np.int32)
-        )
+        self.t_slot_row = np.where(
+            alive & is_t, rows, self.n_rows
+        ).astype(np.int32)
         self.has_t = bool((alive & is_t).any())
         self._outT_coef = outT_coef
         self._in_coef = remap_in._np_coef
@@ -198,13 +197,13 @@ class SparseAssembler:
     def assemble_csr(self, jac):
         """Returns (csr_values (nnz,), grad_t (n_rows,) or None)."""
         vals = self.contrib_values(jac)
-        data = jnp.zeros((self.nnz + 1,), vals.dtype).at[self.slot_pos].add(
-            vals
-        )[: self.nnz]
+        data = jnp.zeros((self.nnz + 1,), vals.dtype).at[
+            jnp.asarray(self.slot_pos)
+        ].add(vals)[: self.nnz]
         grad_t = None
         if self.has_t:
             grad_t = jnp.zeros((self.n_rows + 1,), vals.dtype).at[
-                self.t_slot_row
+                jnp.asarray(self.t_slot_row)
             ].add(vals)[: self.n_rows]
         return data, grad_t
 
@@ -226,9 +225,9 @@ class SparseAssembler:
             dmap[r[sel] // block, r[sel] % block, c[sel] % block] = (
                 np.nonzero(sel)[0].astype(np.int32)
             )
-            self._diag_map = jnp.asarray(dmap)
+            self._diag_map = dmap
         padded = jnp.concatenate([data, jnp.zeros((1,), data.dtype)])
-        return padded[self._diag_map]
+        return padded[jnp.asarray(self._diag_map)]
 
     def matvec(self, data, x):
         """A @ x via COO gather/scatter (TPU: gather + VPU + segment add)."""
