@@ -85,9 +85,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        sanm_tpu.enable_compile_cache("bench-cpu")
-    else:
-        sanm_tpu.enable_compile_cache("bench-tpu")
+    sanm_tpu.enable_compile_cache()
     t_solve, t_first, iters, rms = run_solve()
     if os.environ.get("SANM_BENCH_CPU"):
         print(json.dumps({"cpu_time_solve": t_solve}))

@@ -36,19 +36,28 @@ import jax as _jax
 # libsanm/typedefs.h:12).  Must happen before any array is created.
 _jax.config.update("jax_enable_x64", True)
 
+# On TPU, f64 matmuls are emulated; the DEFAULT precision setting can
+# legally use a lower-accuracy decomposition, which destroys high-order
+# Taylor coefficients (observed: series noise floor ~1e-8 instead of
+# 1e-22, collapsing the ANM validity range).  Force exact accumulation.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 # SANM_PLATFORM=cpu|tpu|... overrides the JAX platform; some
 # environments pin JAX_PLATFORMS in a way that cannot be overridden
 # through the environment variable alone.
 if _os.environ.get("SANM_PLATFORM"):
     _jax.config.update("jax_platforms", _os.environ["SANM_PLATFORM"])
 
-def enable_compile_cache(tag: str = "default") -> None:
+def enable_compile_cache(tag: str = None) -> None:
     """Enable the persistent XLA compilation cache.
 
-    The expansion kernels are large unrolled programs; caching makes
-    repeated runs (and especially remote-TPU compiles) cheap.  Called by
-    the CLI and bench entry points; not enabled at import so that test
-    runs switching platforms don't mix cache entries."""
+    The expansion kernels are large programs; caching makes repeated
+    runs (and especially remote-TPU compiles) cheap.  Called by the CLI
+    and bench entry points; not enabled at import so that test runs
+    switching platforms don't mix cache entries.  One cache dir per
+    backend so CPU AOT executables and TPU binaries never mix."""
+    if tag is None:
+        tag = _jax.default_backend()
     cache_dir = _os.environ.get(
         "SANM_COMPILE_CACHE",
         _os.path.expanduser("~/.cache/sanm_tpu_xla-%s" % tag),

@@ -12,10 +12,7 @@ from .app import do_main
 
 
 def main():
-    sanm_tpu.enable_compile_cache(
-        os.environ.get("SANM_PLATFORM")
-        or os.environ.get("JAX_PLATFORMS", "default")
-    )
+    sanm_tpu.enable_compile_cache()
     try:
         ret = do_main(sys.argv[1:])
     except Exception as e:  # noqa: BLE001

@@ -243,6 +243,14 @@ def run_and_save(
     jstat["name"] = name
     jstat["pade"] = hp.use_pade
     jstat["iter"] = _total_nr_iter[0] - iter_begin
+    # device count stands in for the reference's thread counts
+    # (fea/main.cpp:428-429); SPMD replaces intra-process threading
+    import jax
+
+    jstat["threads"] = jax.device_count()
+    jstat["solver_threads"] = jax.device_count()
+    jstat["solver_backend"] = hp.solver
+    jstat["loop_mode"] = hp.loop
     return _post_process(
         name, config, deformable, model, xt, f_load_sub, f_load_full,
         jstat, inverse_mode, save, allow_invcheck, True, progress,

@@ -72,6 +72,36 @@ class TestANO:
         run_minimize(amin, maxiter=100, grad_norm=1e-5)
         assert np.allclose(amin.get_x(), c, atol=1e-3)
 
+    def test_arap_potential_minimization(self):
+        # ANO through the SVD-W primitive: minimize the ARAP energy of a
+        # single perturbed tet frame; reverse-mode grad goes through the
+        # custom primitive's linearized jvp
+        from sanm_tpu.ops.svd_w import polar_w
+        from sanm_tpu.solver.ano import ANOHyperParam
+
+        rng = np.random.default_rng(5)
+        target_rot = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+        if np.linalg.det(target_rot) < 0:
+            target_rot[:, 0] = -target_rot[:, 0]
+
+        def loss(v):
+            F = v.reshape(1, 3, 3)
+            d = F - polar_w(F, True)
+            return 0.5 * jnp.sum(d * d)
+
+        x0 = (target_rot * 1.3 + 0.1 * rng.normal(size=(3, 3))).reshape(-1)
+        amin = ANOMinimizer(
+            loss, x0, CoeffSolver.make_gd_approx(0.2),
+            ANOHyperParam(maxr=1e-5, max_loss_diff=1e-2),
+        )
+        loss0 = amin.loss()
+        run_minimize(amin, maxiter=40, grad_norm=1e-4)
+        assert amin.loss() < loss0 / 10
+        # at the minimum F is (close to) a rotation
+        F = np.asarray(amin.get_x()).reshape(3, 3)
+        s = np.linalg.svd(F, compute_uv=False)
+        assert np.allclose(s, 1.0, atol=1e-2)
+
     def test_random_solver(self):
         def loss(v):
             return jnp.sum((v - 2.0) ** 2) * 0.5
