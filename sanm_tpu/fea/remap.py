@@ -51,6 +51,25 @@ class ShapeMatRemap:
         init_vtx_coord = np.asarray(init_vtx_coord).reshape(V, dim)
         self.has_delta = vtx_delta is not None
 
+        from ..native import build_shape_remap_native
+
+        nat = build_shape_remap_native(
+            mesh.tets, fixed, init_vtx_coord, vtx_delta
+        )
+        if nat is not None:
+            idx, coef, bias, x0, vloc, vtx2uidx, n = nat
+            self.vtx2uidx = vtx2uidx.astype(np.int64)
+            self.x0 = x0
+            self.vertex_loc = vloc.astype(np.int64)
+            self.n_unknown_vtx = n
+            self.fixed_mask = fixed
+            self.bias = bias
+            inp_size = n + (1 if self.has_delta else 0)
+            self.remap = LinearRemap.from_padded(
+                idx, coef, inp_size, (mesh.nr_tet, dim, dim)
+            )
+            return
+
         # unknown numbering: (vertex, coord) row-major over free coords
         vtx2uidx = -np.ones((V, dim), np.int64)
         free = ~fixed
@@ -113,6 +132,20 @@ class ForceOutputRemap:
         mesh = shape_trans.mesh
         dim = 3
         norms = mesh.vertex_norms  # (T, 4, 3)
+
+        from ..native import build_force_remap_native
+
+        nat = build_force_remap_native(
+            mesh.tets, mesh.nr_vertices, norms, shape_trans.vertex_loc
+        )
+        if nat is not None:
+            idx, coef = nat
+            self.remap = LinearRemap.from_padded(
+                idx, coef, mesh.nr_tet * dim * dim,
+                (shape_trans.n_unknown_vtx,),
+            )
+            return
+
         rev = mesh.vertex_reverse_list()
         rows = []
         for (v, c) in shape_trans.vertex_loc:

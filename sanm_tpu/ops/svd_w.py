@@ -59,7 +59,15 @@ def clip_div(x, y):
 
 def _svd_w_eval(m, require_rotation: bool):
     """Batched (B,n,n) SVD-W.  Returns (u, s, w)."""
-    u, s, vh = jnp.linalg.svd(m)
+    if m.shape[-1] in (2, 3):
+        # vectorized one-sided Jacobi: every element rotates in lockstep
+        # (VPU work), vastly faster than the generic QR-iteration SVD on
+        # TPU batches
+        from .svd3 import svd_batched_small
+
+        u, s, vh = svd_batched_small(m)
+    else:
+        u, s, vh = jnp.linalg.svd(m)
     if require_rotation:
         # flip a group of singular values (and the matching U columns) so
         # that det(U) * det(V) = +1, hence det(W) = +1.  Group selection

@@ -56,6 +56,22 @@ class LinearRemap:
         rows = [[(i, 1.0)] for i in range(n)]
         return LinearRemap(rows, n, out_shape or (n,))
 
+    @classmethod
+    def from_padded(cls, idx, coef, inp_size: int, out_shape):
+        """Construct directly from padded arrays (native builders)."""
+        self = cls.__new__(cls)
+        idx = np.ascontiguousarray(idx, np.int32)
+        coef = np.ascontiguousarray(coef, np.float64)
+        self.idx = jnp.asarray(idx)
+        self.coef = jnp.asarray(coef)
+        self._np_idx = idx
+        self._np_coef = coef
+        self.inp_size = int(inp_size)
+        self.out_shape = tuple(out_shape)
+        self.n_out = idx.shape[0]
+        self._transposed = None
+        return self
+
     # ------------------------------------------------------------------
     def apply(self, x):
         """Apply to a flat (inp_size,) vector; returns out_shape array.
@@ -85,6 +101,14 @@ class LinearRemap:
         numpy so a jitted caller never caches trace-scoped constants."""
         if self._transposed is not None:
             return self._transposed
+        from ..native import transpose_padded_native
+
+        nat = transpose_padded_native(
+            self._np_idx, self._np_coef, self.inp_size
+        )
+        if nat is not None:
+            self._transposed = nat
+            return nat
         buckets = [[] for _ in range(self.inp_size)]
         n_out, width = self._np_idx.shape
         for o in range(n_out):
