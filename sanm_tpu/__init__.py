@@ -39,8 +39,12 @@ _jax.config.update("jax_enable_x64", True)
 # On TPU, f64 matmuls are emulated; the DEFAULT precision setting can
 # legally use a lower-accuracy decomposition, which destroys high-order
 # Taylor coefficients (observed: series noise floor ~1e-8 instead of
-# 1e-22, collapsing the ANM validity range).  Force exact accumulation.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# 1e-22, collapsing the ANM validity range).  Precision is requested
+# explicitly (HIGHEST) at every correctness-critical dot — the Taylor
+# engine's dot_general rules, the model/material matmuls, the assembly
+# einsums, residual matvecs — rather than globally: a global setting
+# also degrades the float32 factorization internals to multi-pass
+# emulation, multiplying XLA compile times.
 
 # SANM_PLATFORM=cpu|tpu|... overrides the JAX platform; some
 # environments pin JAX_PLATFORMS in a way that cannot be overridden

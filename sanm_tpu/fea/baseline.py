@@ -131,7 +131,9 @@ class _Kernels:
                  xe[:, 3] - xe[:, 0]],
                 axis=2,
             )
-            return jnp.einsum("bij,bjk->bik", ds, dm_inv_j)
+            return jnp.einsum(
+                "bij,bjk->bik", ds, dm_inv_j, precision="highest"
+            )
 
         def energy(vtx):
             return jnp.sum(_psi(em, mat, deform_grad(vtx)) * vol_j)

@@ -93,8 +93,10 @@ def pk1(energy_model: EnergyModel, material: MaterialProperty, F, dim: int):
     if energy_model == EnergyModel.ARAP:
         return (F - polar_w(F, True)) * mu
     if energy_model == EnergyModel.StVK_STRETCH:
-        b = jnp.einsum("bij,bkj->bik", F, F)
-        return mu * (jnp.einsum("bij,bjk->bik", b, F) - F)
+        b = jnp.einsum("bij,bkj->bik", F, F, precision="highest")
+        return mu * (
+            jnp.einsum("bij,bjk->bik", b, F, precision="highest") - F
+        )
     raise SANMError(f"pk1 unimplemented for {energy_model}")
 
 
@@ -105,7 +107,7 @@ def cauchy_stress(
     ``fea/material.cpp:20-53``); used by the inverse-design models since
     it acts on *deformed* normals."""
     mu = material.shear_modulus
-    b = jnp.einsum("bij,bkj->bik", F, F)
+    b = jnp.einsum("bij,bkj->bik", F, F, precision="highest")
     J = batched_det(F)
     if energy_model == EnergyModel.NEOHOOKEAN_I:
         k = material.bulk_modulus

@@ -48,8 +48,20 @@ class ElasticForceModel:
 
     def eval_force(self, x):
         """Plain force evaluation at unknown vector x (no Taylor),
-        cf. reference ``compute_force_rms`` inner evaluation."""
-        g = self.lt_inp.remap.apply(jnp.asarray(x).reshape(-1))
+        cf. reference ``compute_force_rms`` inner evaluation.
+
+        Runs on the host CPU device when the default backend is an
+        accelerator: TPU f64 emulation (~2e-13 relative) would floor the
+        reported force residuals above the 1e-10 verification target."""
+        import jax
+
+        x = jnp.asarray(x).reshape(-1)
+        if jax.default_backend() != "cpu":
+            try:
+                x = jax.device_put(x, jax.devices("cpu")[0])
+            except Exception:
+                pass
+        g = self.lt_inp.remap.apply(x)
         return self.lt_out.remap.apply(self.fn(g))
 
     def eval_potential(self, x):
@@ -104,7 +116,7 @@ class DeformableBody:
 
         def fn(g):
             ds = g + bias
-            F = jnp.einsum("bij,bjk->bik", ds, dm_inv)
+            F = jnp.einsum("bij,bjk->bik", ds, dm_inv, precision="highest")
             return pk1(em, material, F, 3)
 
         pot = None
@@ -113,7 +125,7 @@ class DeformableBody:
 
             def pot(g):
                 ds = g + bias
-                F = jnp.einsum("bij,bjk->bik", ds, dm_inv)
+                F = jnp.einsum("bij,bjk->bik", ds, dm_inv, precision="highest")
                 return (
                     elastic_potential_density(em, material, F, 3) * vols
                 )
@@ -134,7 +146,10 @@ class DeformableBody:
         def fn(g):
             dm = g + bias
             # F = Ds @ Dm^{-1}
-            F = jnp.einsum("bij,bjk->bik", ds_const, batched_inv(dm))
+            F = jnp.einsum(
+                "bij,bjk->bik", ds_const, batched_inv(dm),
+                precision="highest",
+            )
             return cauchy_stress(em, material, F, 3)
 
         return ElasticForceModel(fn, lt_inp, lt_out, None)

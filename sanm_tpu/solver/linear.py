@@ -35,6 +35,16 @@ import numpy as np
 from ..utils import SANMError, sanm_assert
 
 
+def _mv(A, x):
+    """Exact-precision f64 matvec (TPU's default f64 dot emulation is
+    not accurate enough for refinement residuals)."""
+    return jnp.einsum("ij,j->i", A, x, precision="highest")
+
+
+def _mv_t(A, x):
+    return jnp.einsum("ji,j->i", A, x, precision="highest")
+
+
 class DenseFactorSolver:
     """Factor once (QR or Cholesky), back-substitute many times.
 
@@ -63,7 +73,9 @@ class DenseFactorSolver:
         self.mixed = bool(mixed_precision) and A.dtype == jnp.float64
         fdtype = jnp.float32 if self.mixed else A.dtype
         if self.l2_penalty:
-            self.G = A.T @ A + self.l2_penalty * jnp.eye(n, dtype=A.dtype)
+            self.G = jnp.einsum(
+                "ji,jk->ik", A, A, precision="highest"
+            ) + self.l2_penalty * jnp.eye(n, dtype=A.dtype)
             self._chol = jnp.linalg.cholesky(self.G.astype(fdtype))
             self._q = None
         else:
@@ -93,7 +105,7 @@ class DenseFactorSolver:
     def solve(self, b):
         b = b.reshape(-1)
         if self.l2_penalty:
-            b = self.A.T @ b
+            b = _mv_t(self.A, b)
             mat = self.G
         else:
             mat = self.A
@@ -108,9 +120,9 @@ class DenseFactorSolver:
 
         def body(state):
             x, rnorm, it, _ = state
-            r = b - mat @ x
+            r = b - _mv(mat, x)
             x_new = x + self._backsub(r)
-            rnorm_new = jnp.linalg.norm(b - mat @ x_new)
+            rnorm_new = jnp.linalg.norm(b - _mv(mat, x_new))
             improved = rnorm_new < rnorm
             x = jnp.where(improved, x_new, x)
             return (
@@ -128,7 +140,7 @@ class DenseFactorSolver:
                 & improved
             )
 
-        r0 = jnp.linalg.norm(b - mat @ x)
+        r0 = jnp.linalg.norm(b - _mv(mat, x))
         x, _, _, _ = jax.lax.while_loop(
             cond, body, (x, r0, 0, jnp.asarray(True))
         )
@@ -137,7 +149,7 @@ class DenseFactorSolver:
     def apply(self, x):
         """A @ x, for the solver-level sanity checks
         (reference ``SparseSolver::apply``, ``sparse_solver.cpp:182-215``)."""
-        return self.A @ x.reshape(-1)
+        return _mv(self.A, x.reshape(-1))
 
     def coeff_l2(self):
         """Frobenius norm of the system coefficients (reference

@@ -107,6 +107,22 @@ def _default_hist_needs(eqn):
     return [False] * len(eqn.invars), [False] * len(eqn.outvars)
 
 
+def _hi_params(eqn):
+    """Force HIGHEST precision on f64 dot_generals: TPU's default f64
+    matmul emulation is not accurate enough for Taylor coefficients."""
+    from jax import lax as _lx
+
+    if (
+        eqn.primitive is _lx.dot_general_p
+        and eqn.outvars[0].aval.dtype == jnp.float64
+    ):
+        return {
+            **eqn.params,
+            "precision": (_lx.Precision.HIGHEST, _lx.Precision.HIGHEST),
+        }
+    return eqn.params
+
+
 # ----------------------------------------------------------------------------
 # engine
 # ----------------------------------------------------------------------------
@@ -251,7 +267,7 @@ class TaylorEngine:
         self.eqn_out0 = {}
         for idx, eqn, outs_used in self.tfn.live_eqns:
             invals = [read(v) for v in eqn.invars]
-            outs = eqn.primitive.bind(*invals, **eqn.params)
+            outs = eqn.primitive.bind(*invals, **_hi_params(eqn))
             if not eqn.primitive.multiple_results:
                 outs = [outs]
             self.eqn_out0[idx] = outs
@@ -365,7 +381,7 @@ def _linear_rule(engine, eqn, idx, k, in_k, cache, commit):
         materialize(x, v.aval) if x is None else x
         for x, v in zip(in_k, eqn.invars)
     ]
-    outs = eqn.primitive.bind(*invals, **eqn.params)
+    outs = eqn.primitive.bind(*invals, **_hi_params(eqn))
     if not eqn.primitive.multiple_results:
         outs = [outs]
     return outs, cache

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax._src import core as jcore
 
-from .taylor import TaylorFn, _static_scalar, materialize, z_add
+from .taylor import TaylorFn, _hi_params, _static_scalar, materialize, z_add
 from .utils import SANMError
 
 SCAN_RULES: Dict[Any, Callable] = {}
@@ -56,20 +56,9 @@ class ScanEngine:
     """
 
     def __init__(self, plain_engine, order: int):
-        self.tfn: TaylorFn = plain_engine.tfn
-        self.jaxpr = self.tfn.jaxpr
-        self.N = int(order)
+        self._static_init(plain_engine.tfn, order)
         self.eqn_out0 = plain_engine.eqn_out0
         self._env0 = plain_engine._env0
-        self._const_vars = set(self.jaxpr.constvars)
-
-        # deterministic ordering of history vars
-        self.hist_vars = [
-            v
-            for v in plain_engine.hist
-            if v in self.tfn.need_hist
-        ]
-        self._hist_index = {v: i for i, v in enumerate(self.hist_vars)}
 
         # initial buffers from the plain engine's committed orders
         bufs = []
@@ -83,14 +72,74 @@ class ScanEngine:
             bufs.append(buf)
         self._init_bufs = bufs
 
-        # userdata buffers (svd series, integer_pow chains), same idea
-        self._ud_spec = {}
+        # userdata buffers (svd series, integer_pow chains), same idea;
+        # enumerated in live-eqn order so structures are reproducible
         ud_bufs = []
-        for idx, ud in plain_engine.userdata.items():
-            spec, flats = _stack_userdata(ud, self.N)
+        for idx, eqn, _ in self.tfn.live_eqns:
+            if idx not in plain_engine.userdata:
+                continue
+            spec, flats = _stack_userdata(plain_engine.userdata[idx], self.N)
             self._ud_spec[idx] = (len(ud_bufs), spec)
             ud_bufs.extend(flats)
         self._init_ud = ud_bufs
+
+    def _static_init(self, tfn: TaylorFn, order: int):
+        """Trace-independent structure (shared by the live-trace and the
+        aux-reconstruction constructors)."""
+        self.tfn = tfn
+        self.jaxpr = tfn.jaxpr
+        self.N = int(order)
+        self._const_vars = set(self.jaxpr.constvars)
+        self._ud_spec = {}
+        # deterministic var ordering: constvars, invars, live outvars
+        ordered = list(self.jaxpr.constvars) + list(self.jaxpr.invars)
+        for idx, eqn, _ in tfn.live_eqns:
+            for v in eqn.outvars:
+                if not isinstance(v, jcore.DropVar):
+                    ordered.append(v)
+        self._env0_vars = ordered
+        self.hist_vars = [v for v in ordered if v in tfn.need_hist]
+        self._hist_index = {v: i for i, v in enumerate(self.hist_vars)}
+        self._multiout_idxs = [
+            idx
+            for idx, eqn, _ in tfn.live_eqns
+            if eqn.primitive.multiple_results
+        ]
+
+    # -- aux packing: order-0 values as explicit pytrees (so separately
+    # jitted stages can rebuild the engine from runtime arguments) -------
+    def pack_aux(self):
+        env0 = tuple(self._env0[v] for v in self._env0_vars)
+        out0 = tuple(
+            tuple(self.eqn_out0[idx]) for idx in self._multiout_idxs
+        )
+        return (env0, out0)
+
+    @classmethod
+    def from_aux(cls, tfn: TaylorFn, order: int, aux):
+        """Rebuild from packed aux (inside another jit trace)."""
+        self = cls.__new__(cls)
+        self._static_init(tfn, order)
+        env0, out0 = aux
+        self._env0 = dict(zip(self._env0_vars, env0))
+        self.eqn_out0 = {
+            idx: list(outs)
+            for idx, outs in zip(self._multiout_idxs, out0)
+        }
+        # _ud_spec layout must match the live-trace constructor: rebuild
+        # base offsets by walking live eqns with static ud specs
+        base = 0
+        for idx, eqn, outs_used in tfn.live_eqns:
+            spec = _static_ud_spec(tfn, idx, eqn, outs_used)
+            if spec is None:
+                continue
+            kind, meta = spec
+            nbufs = len(meta) if kind == "dict" else meta
+            self._ud_spec[idx] = (base, spec)
+            base += nbufs
+        self._init_bufs = None
+        self._init_ud = None
+        return self
 
     # -- carry ------------------------------------------------------------
     def init_carry(self):
@@ -219,6 +268,25 @@ class ScanEngine:
         return new_carry
 
 
+def _static_ud_spec(tfn, idx, eqn, outs_used):
+    """Static userdata spec for an eqn (must mirror what the plain rules
+    create): returns ("dict", sorted_keys) / ("list", n) / None."""
+    from .ops.svd_w import svd_w_p
+
+    if eqn.primitive is svd_w_p:
+        pw = not (outs_used[0] or outs_used[1])
+        return ("dict", ["P", "W"] if pw else ["PS", "S", "T", "U", "W"])
+    if eqn.primitive is lax.integer_pow_p:
+        n = eqn.params["y"]
+        if n >= 2:
+            from .taylor import _binary_chain
+
+            chain, _ = _binary_chain(n)
+            return ("list", len(chain) + 1)
+        return None
+    return None
+
+
 def _stack_userdata(ud, N):
     """Convert the plain engine's per-eqn userdata (lists of per-order
     values, possibly nested) to stacked buffers.
@@ -270,7 +338,7 @@ def _lin_rule(engine, carry, eqn, idx, k, in_k, cache, commit):
         materialize(x, v.aval) if x is None else x
         for x, v in zip(in_k, eqn.invars)
     ]
-    outs = eqn.primitive.bind(*vals, **eqn.params)
+    outs = eqn.primitive.bind(*vals, **_hi_params(eqn))
     if not eqn.primitive.multiple_results:
         outs = [outs]
     return outs, cache, None

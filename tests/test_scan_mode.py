@@ -36,7 +36,7 @@ def _problem():
 def test_scan_matches_unroll(em):
     body, f = _problem()
     sols = {}
-    for loop in ("unroll", "scan"):
+    for loop in ("unroll", "scan", "hybrid"):
         model = body.make_forward(em)
         fl = model.lt_inp.copy_vtx_values(f)
         hp = EqnHyperParam(order=8, use_pade=True, loop=loop)
@@ -48,6 +48,9 @@ def test_scan_matches_unroll(em):
         sols[loop] = np.asarray(run_anm_eqn(s, progress=False))
     require_tensor_eq(
         sols["scan"], sols["unroll"], 1e-10, msg=f"scan vs unroll {em}"
+    )
+    require_tensor_eq(
+        sols["hybrid"], sols["unroll"], 1e-10, msg=f"hybrid vs unroll {em}"
     )
 
 
