@@ -50,19 +50,22 @@ class ElasticForceModel:
         """Plain force evaluation at unknown vector x (no Taylor),
         cf. reference ``compute_force_rms`` inner evaluation.
 
-        Runs on the host CPU device when the default backend is an
-        accelerator: TPU f64 emulation (~2e-13 relative) would floor the
-        reported force residuals above the 1e-10 verification target."""
-        import jax
+        Evaluated in strict-IEEE NumPy f64: accelerator (and even
+        axon-runtime CPU) executables carry relaxed-accuracy f64, which
+        would floor the reported force residuals above the 1e-10
+        verification target."""
+        if getattr(self, "_np_eval", None) is None:
+            from ..taylor import TaylorFn, numpy_eval
 
-        x = jnp.asarray(x).reshape(-1)
-        if jax.default_backend() != "cpu":
-            try:
-                x = jax.device_put(x, jax.devices("cpu")[0])
-            except Exception:
-                pass
-        g = self.lt_inp.remap.apply(x)
-        return self.lt_out.remap.apply(self.fn(g))
+            gshape = self.lt_inp.remap.out_shape
+            import jax as _jax
+
+            tfn = TaylorFn(
+                self.fn, _jax.ShapeDtypeStruct(gshape, jnp.float64)
+            )
+            object.__setattr__(self, "_np_eval", numpy_eval(tfn))
+        g = self.lt_inp.remap.apply_np(np.asarray(x))
+        return self.lt_out.remap.apply_np(self._np_eval(g))
 
     def eval_potential(self, x):
         if self.potential_fn is None:

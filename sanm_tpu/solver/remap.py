@@ -82,6 +82,15 @@ class LinearRemap:
         out = jnp.sum(self.coef * x[self.idx], axis=1)
         return out.reshape(self.out_shape)
 
+    def apply_np(self, x):
+        """NumPy (strict-IEEE f64) apply, for host-exact residual
+        evaluation."""
+        import numpy as _np
+
+        x = _np.asarray(x).reshape(-1)
+        out = (self._np_coef * x[self._np_idx]).sum(axis=1)
+        return out.reshape(self.out_shape)
+
     def apply_t(self, y):
         """Transpose map: (out_shape,) -> (inp_size,), via scatter-add."""
         if y is None:

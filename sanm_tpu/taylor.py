@@ -712,6 +712,214 @@ def _integer_pow_hist_needs(eqn):
 register_rule(lax.integer_pow_p, _integer_pow_rule, _integer_pow_hist_needs)
 
 
+# ----------------------------------------------------------------------------
+# pure-NumPy forward evaluation of a TaylorFn
+#
+# Residual evaluations must be EXACT f64: TPU f64 is emulated to ~2e-13
+# relative, and even the in-process CPU executables under the axon
+# runtime inherit accuracy-relaxing compile flags (measured ~2e-10 force
+# roughness vs 1.4e-11 for strict f64).  Interpreting the jaxpr with
+# NumPy gives strict IEEE f64 with no XLA in the loop; one forward pass
+# per continuation restart is host-cheap.
+# ----------------------------------------------------------------------------
+
+
+def _np_dot_general(a, b, dimension_numbers, **_):
+    import numpy as np
+
+    (lc, rc), (lb, rb) = dimension_numbers
+    letters = iter("abcdefghijklmnopqrstuvwxyz")
+    a_spec = [None] * a.ndim
+    b_spec = [None] * b.ndim
+    out_batch = []
+    out_a = []
+    out_b = []
+    for i, j in zip(lb, rb):
+        ch = next(letters)
+        a_spec[i] = ch
+        b_spec[j] = ch
+        out_batch.append(ch)
+    for i, j in zip(lc, rc):
+        ch = next(letters)
+        a_spec[i] = ch
+        b_spec[j] = ch
+    for i in range(a.ndim):
+        if a_spec[i] is None:
+            a_spec[i] = next(letters)
+            out_a.append(a_spec[i])
+    for j in range(b.ndim):
+        if b_spec[j] is None:
+            b_spec[j] = next(letters)
+            out_b.append(b_spec[j])
+    spec = "%s,%s->%s" % (
+        "".join(a_spec),
+        "".join(b_spec),
+        "".join(out_batch + out_a + out_b),
+    )
+    return np.einsum(spec, a, b)
+
+
+def numpy_eval(tfn: TaylorFn):
+    """Return a NumPy-exact forward evaluator for ``tfn``."""
+    import numpy as np
+    from jax import lax as _lx
+
+    def _svd_w_np(m, require_rotation):
+        from .ops.svd_w import GROUP_EPS
+
+        u, s, vh = np.linalg.svd(m)
+        if require_rotation:
+            need = np.linalg.det(u) * np.linalg.det(
+                np.swapaxes(vh, -1, -2)
+            ) < 0
+            # flip policy matching ops.svd_w (smallest group; odd groups
+            # whole, else single)
+            B, n = s.shape
+            for bi in np.nonzero(need)[0]:
+                sv = s[bi]
+                best_i, best_nr = 0, n + 1
+                i = 0
+                # scan ALL groups; ties go to the later (smaller-value)
+                # group — must match the device selection in
+                # ops/svd_w.py exactly, since f(x) may read W directly
+                while i < n:
+                    j = i + 1
+                    while j < n and sv[j - 1] - sv[j] < GROUP_EPS:
+                        j += 1
+                    nr = j - i
+                    if nr <= best_nr or (
+                        nr == best_nr + 1 and nr % 2 == 1
+                    ):
+                        best_i, best_nr = i, nr
+                    i = j
+                if best_nr == 1 or best_nr % 2 == 0:
+                    sl = slice(best_i, best_i + 1)
+                else:
+                    sl = slice(best_i, best_i + best_nr)
+                s[bi, sl] = -s[bi, sl]
+                u[bi, :, sl] = -u[bi, :, sl]
+        w = u @ vh
+        return [u, s, w]
+
+    def impl(eqn, invals):
+        p = eqn.primitive
+        prms = eqn.params
+        if p is _lx.add_p:
+            return invals[0] + invals[1]
+        if p is _lx.sub_p:
+            return invals[0] - invals[1]
+        if p is _lx.mul_p:
+            return invals[0] * invals[1]
+        if p is _lx.div_p:
+            return invals[0] / invals[1]
+        if p is _lx.neg_p:
+            return -invals[0]
+        if p is _lx.integer_pow_p:
+            return invals[0] ** prms["y"]
+        if p is _lx.pow_p:
+            return invals[0] ** invals[1]
+        if p is _lx.log_p:
+            return np.log(invals[0])
+        if p is _lx.exp_p:
+            return np.exp(invals[0])
+        if p is _lx.sqrt_p:
+            return np.sqrt(invals[0])
+        if p is _lx.rsqrt_p:
+            return 1.0 / np.sqrt(invals[0])
+        if p is _lx.dot_general_p:
+            return _np_dot_general(
+                invals[0], invals[1], prms["dimension_numbers"]
+            )
+        if p is _lx.transpose_p:
+            return np.transpose(invals[0], prms["permutation"])
+        if p is _lx.reshape_p:
+            return np.reshape(invals[0], prms["new_sizes"])
+        if p is _lx.broadcast_in_dim_p:
+            out = np.zeros(prms["shape"], invals[0].dtype)
+            src = invals[0]
+            expand = [
+                i for i in range(len(prms["shape"]))
+                if i not in prms["broadcast_dimensions"]
+            ]
+            s = np.expand_dims(src, tuple(expand)) if expand else src
+            out[...] = s
+            return out
+        if p is _lx.squeeze_p:
+            return np.squeeze(invals[0], axis=tuple(prms["dimensions"]))
+        if p is _lx.reduce_sum_p:
+            return np.sum(invals[0], axis=tuple(prms["axes"]))
+        if p is _lx.concatenate_p:
+            return np.concatenate(invals, axis=prms["dimension"])
+        if p is _lx.slice_p:
+            idx = tuple(
+                slice(a, b, c)
+                for a, b, c in zip(
+                    prms["start_indices"], prms["limit_indices"],
+                    prms["strides"] or [1] * len(prms["start_indices"]),
+                )
+            )
+            return invals[0][idx]
+        if p is _lx.convert_element_type_p:
+            return invals[0].astype(prms["new_dtype"])
+        if p is _lx.iota_p:
+            dt = prms["dtype"]
+            shape = prms["shape"]
+            return np.broadcast_to(
+                np.arange(shape[prms["dimension"]], dtype=dt).reshape(
+                    [-1 if i == prms["dimension"] else 1
+                     for i in range(len(shape))]
+                ),
+                shape,
+            ).copy()
+        if p is _lx.select_n_p:
+            pred = invals[0]
+            out = np.where(pred.astype(bool), invals[2], invals[1])
+            return out
+        if p.name == "sanm_svd_w":
+            return _svd_w_np(invals[0], prms["require_rotation"])
+        for name, fn in [
+            ("eq", np.equal), ("ne", np.not_equal), ("lt", np.less),
+            ("le", np.less_equal), ("gt", np.greater),
+            ("ge", np.greater_equal), ("and", np.logical_and),
+            ("or", np.logical_or), ("not", np.logical_not),
+            ("max", np.maximum), ("min", np.minimum),
+            ("abs", np.abs), ("sign", np.sign),
+        ]:
+            if p.name == name:
+                return fn(*invals)
+        raise SANMError("numpy_eval: unsupported primitive %r" % p.name)
+
+    consts = [
+        __import__("numpy").asarray(c) for c in tfn.consts
+    ]
+
+    def run(*xs):
+        import numpy as np
+
+        env = {}
+        for v, c in zip(tfn.jaxpr.constvars, consts):
+            env[v] = c
+        for v, x in zip(tfn.jaxpr.invars, xs):
+            env[v] = np.asarray(x)
+
+        def read(v):
+            return (
+                np.asarray(v.val) if isinstance(v, jcore.Literal) else env[v]
+            )
+
+        for idx, eqn, outs_used in tfn.live_eqns:
+            invals = [read(v) for v in eqn.invars]
+            out = impl(eqn, invals)
+            outs = out if eqn.primitive.multiple_results else [out]
+            for v, o in zip(eqn.outvars, outs):
+                if not isinstance(v, jcore.DropVar):
+                    env[v] = o
+        outs = [read(v) for v in tfn.jaxpr.outvars]
+        return outs[0] if len(outs) == 1 else tuple(outs)
+
+    return run
+
+
 # constant-producing primitives: value at order 0 (computed in start()),
 # zero at every higher order
 def _const_rule(engine, eqn, idx, k, in_k, cache, commit):
