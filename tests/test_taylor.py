@@ -387,3 +387,77 @@ class TestPolymat:
         coeffs = np.linalg.solve(V, vals)  # (deg+1, B)
         want = coeffs[order] if order <= deg else np.zeros(3)
         require_tensor_eq(got, want, 1e-6, msg="polymat coeff")
+
+
+class TestNumpyEval:
+    """numpy_eval must reproduce the jitted graph bit-for-bit (up to
+    strict-f64 roundoff) — it is the strict-IEEE residual oracle used by
+    the ANM drivers on accuracy-relaxed backends (TPU-emulated f64)."""
+
+    def _check(self, fn, x, tol=5e-14):
+        import jax
+
+        from sanm_tpu.taylor import TaylorFn, numpy_eval
+
+        tfn = TaylorFn(
+            fn, jax.ShapeDtypeStruct(x.shape, jnp.float64)
+        )
+        a = np.asarray(numpy_eval(tfn)(np.asarray(x)))
+        b = np.asarray(jax.jit(fn)(jnp.asarray(x)))
+        require_tensor_eq(a, b, tol, msg="numpy_eval vs jit")
+
+    def test_elemwise_graph(self):
+        x = tensor_rng((4, 5), 0.8, 1.4, seed=11)
+
+        def fn(x):
+            return jnp.log(x) * x**3 + jnp.exp(-x) / jnp.sqrt(x) - x**1.5
+
+        self._check(fn, x)
+
+    def test_svd_w_rotation_flip_policy(self):
+        # the det(W)=1 flip-group selection must match the device kernel
+        # exactly (smallest group, later group wins ties, adjacent-gap
+        # grouping) — an O(1) mismatch here poisons the homotopy bias
+        from sanm_tpu.ops.svd_w import svd_w
+
+        def fn(x):
+            return x - svd_w(x, True)[2]
+
+        self._check(fn, tensor_rng((16, 3, 3), seed=100), 2e-13)
+        # near-degenerate spectrum (gap < GROUP_EPS): whole-group flip
+        rng = np.random.default_rng(0)
+        ms = []
+        for _ in range(6):
+            q1, _q = np.linalg.qr(rng.standard_normal((3, 3)))
+            q2, _q = np.linalg.qr(rng.standard_normal((3, 3)))
+            s = np.array([2.0, 2.0 + 2e-4, 0.5])
+            ms.append((q1 * s) @ q2.T)
+        self._check(fn, np.stack(ms), 2e-13)
+
+    def test_fea_force_graph(self):
+        # full elastic-force graph (einsum + svd_w polar + remaps)
+        from sanm_tpu.fea import (
+            DeformableBody,
+            EnergyModel,
+            MaterialProperty,
+            TetrahedralMesh,
+        )
+
+        mesh = TetrahedralMesh.make_cuboid(3, 2, 2, 0.1)
+        body = DeformableBody(
+            MaterialProperty.from_young_poisson(1e6, 0.4), mesh
+        )
+        body.coord_fixed_mask[mesh.vertices[:, 0] <= 0.05, :] = True
+        for em in (EnergyModel.ARAP, EnergyModel.NEOHOOKEAN_C):
+            model = body.make_forward(em)
+            x = model.x0() + tensor_rng(
+                model.x0().shape, -0.01, 0.01, seed=5
+            )
+            f_np = np.asarray(model.eval_force(x))
+            import jax
+
+            g = model.lt_inp.remap.apply(jnp.asarray(x))
+            f_dev = np.asarray(
+                model.lt_out.remap.apply(jax.jit(model.fn)(g))
+            ).reshape(-1)
+            require_tensor_eq(f_np, f_dev, 1e-9, msg=f"force {em}")
