@@ -380,7 +380,18 @@ class _ANMDriverBase:
     def _solver_mode(self):
         mode = self.hp.solver
         if mode == "auto":
-            mode = "dense" if self.n <= self.hp.dense_limit else "host_lu"
+            # the in-graph dense factorization (f32 QR + refinement) is
+            # fast but inherits the accelerator's relaxed/emulated f64;
+            # its coefficient noise floors the continuation around
+            # ~2e-10 force-RMS.  Pick it only on strict-IEEE hosts and
+            # small systems; otherwise host sparse LU (hybrid loop),
+            # which is also what large systems need for O(nnz) memory.
+            strict_f64 = jax.default_backend() == "cpu"
+            mode = (
+                "dense"
+                if strict_f64 and self.n <= self.hp.dense_limit
+                else "host_lu"
+            )
         return mode
 
     def _make_solver(self, asm, data):
