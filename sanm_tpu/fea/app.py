@@ -68,7 +68,9 @@ def setup_solver_param(config, eqn=False):
     hp.xcoeff_l2_penalty = float(config.get("xcoeff_l2_penalty", 0.0))
     hp.use_pade = not config.get("disable_pade", False)
     hp.sanity_check = not config.get("disable_anm_sanity_check", False)
-    hp.solver = config.get("solver", "auto")
+    # SANM_SOLVER env overrides the config (experiment harness knob,
+    # like the reference's SANM_PADE toggle, libsanm/anm.cpp:142)
+    hp.solver = os.environ.get("SANM_SOLVER", config.get("solver", "auto"))
     if eqn:
         hp.converge_rms = RMS_THRESH_FORCE_EQU
     return hp
@@ -190,6 +192,15 @@ def run_and_save(
         stat = baseline.run_from_config(
             config, deformable, f_load_full, RMS_THRESH_FORCE_EQU
         )
+        if os.environ.get("SANM_WARM_TIMING"):
+            # re-run with compiled kernels in-process: reported times
+            # then exclude XLA compilation / cache-deserialization, the
+            # analog of the reference timing a long-lived process
+            t = Timer().start()
+            stat = baseline.run_from_config(
+                config, deformable, f_load_full, RMS_THRESH_FORCE_EQU
+            )
+            jstat["time_solve_warm"] = t.stop().time()
         for k, v in stat.as_json().items():
             jstat[k] = v
         xt = model.lt_inp.copy_vtx_values(stat.vtx)
@@ -239,10 +250,22 @@ def run_and_save(
         xt = run_anm_eqn(solver, progress)
 
     jstat["time_solve"] = timer.stop().time()
+    jstat["iter"] = _total_nr_iter[0] - iter_begin
+    if (
+        os.environ.get("SANM_WARM_TIMING")
+        and config.get("baseline") is None
+        and not need_save_interm
+    ):
+        t = Timer().start()
+        solver = ANMEqnSolver(
+            model.fn, model.lt_inp.remap, model.lt_out.remap,
+            model.x0(), f_load_sub, hp,
+        )
+        xt = run_anm_eqn(solver, progress=False)
+        jstat["time_solve_warm"] = t.stop().time()
     jstat["order"] = hp.order
     jstat["name"] = name
     jstat["pade"] = hp.use_pade
-    jstat["iter"] = _total_nr_iter[0] - iter_begin
     # device count stands in for the reference's thread counts
     # (fea/main.cpp:428-429); SPMD replaces intra-process threading
     import jax
@@ -250,6 +273,8 @@ def run_and_save(
     jstat["threads"] = jax.device_count()
     jstat["solver_threads"] = jax.device_count()
     jstat["solver_backend"] = hp.solver
+    jstat["solver_resolved"] = solver._solver_mode()
+    jstat["loop_resolved"] = solver._loop_mode()
     jstat["loop_mode"] = hp.loop
     return _post_process(
         name, config, deformable, model, xt, f_load_sub, f_load_full,

@@ -62,7 +62,10 @@ class HyperParam:
     solution_check_tol: float = 1e-4
     xcoeff_l2_penalty: float = 0.0
     solver: str = "auto"
-    dense_limit: int = 4608  # max unknowns for the dense path in "auto"
+    # max unknowns for the dense path in "auto" (CPU-only, see
+    # _solver_mode): measured on the bar mesh (n=3258) the dense f64 QR
+    # already loses to host sparse LU, so the cutoff sits well below it
+    dense_limit: int = 2048
     # order-loop execution: "unroll" traces every order (transparent,
     # O(order) program size), "scan" compiles one lax.scan body
     # (compile-time independent of order; required for large programs on
@@ -189,10 +192,28 @@ class _ANMDriverBase:
             gin = self.remap_inp.apply(self.prepare_inp(xt_k))
             return seng.push(carry, k, gin, caches)
 
+        def step_fn(carry, aux, k, xt_k, caches):
+            """Fused commit(k) + bias(k+1): one device dispatch per order
+            instead of two — the per-call latency of the remote TPU
+            tunnel is a significant share of the warm iteration time."""
+            seng = ScanEngine.from_aux(self.tfn, order, aux)
+            gin = self.remap_inp.apply(self.prepare_inp(xt_k))
+            carry = seng.push(carry, k, gin, caches)
+            b_out, caches2 = seng.order_bias(carry, k + 1)
+            if b_out is None:
+                oav = self.tfn.jaxpr.outvars[0].aval
+                b_out = jnp.zeros(oav.shape, oav.dtype)
+            return (
+                carry,
+                self.remap_out.apply(b_out).reshape(-1),
+                caches2,
+            )
+
         self._hyb = (
             jax.jit(prepare),
             jax.jit(bias_fn),
             jax.jit(commit_fn),
+            jax.jit(step_fn),
         )
         return self._hyb
 
@@ -203,7 +224,7 @@ class _ANMDriverBase:
 
         hp = self.hp
         n = self.n
-        prepare, bias_fn, commit_fn = self._hybrid_fns()
+        prepare, bias_fn, commit_fn, step_fn = self._hybrid_fns()
         asm = self._assembler()
         xt0 = jnp.asarray(xt0_np)
         with ScopedProfiler("build_sparse_coeff", block=True):
@@ -233,9 +254,11 @@ class _ANMDriverBase:
         coeffs[1, n] = t1
         diag = []
         sanity = hp.sanity_check and not pen
-        carry = commit_fn(carry, aux, 1, jnp.asarray(coeffs[1]), None)
+        # fused loop: one device dispatch (commit k + bias k+1) per order
+        carry, b_dev, caches = step_fn(
+            carry, aux, 1, jnp.asarray(coeffs[1]), None
+        )
         for k in range(2, hp.order + 1):
-            b_dev, caches = bias_fn(carry, aux, k)
             b = np.asarray(b_dev)
             with ScopedProfiler("sparse_solve"):
                 xb = solve(b)
@@ -248,7 +271,7 @@ class _ANMDriverBase:
                 scale = max(np.linalg.norm(grad_t * tk + b), 1e-30)
                 diag.append(np.linalg.norm(resid) / scale)
             if k < hp.order:
-                carry = commit_fn(
+                carry, b_dev, caches = step_fn(
                     carry, aux, k, jnp.asarray(coeffs[k]), caches
                 )
         return coeffs, np.asarray(diag)

@@ -358,13 +358,15 @@ def batched_jacobian(fn: Callable, x0, out_inner_size: Optional[int] = None):
     in_inner = x0.shape[1:]
     idim = int(math.prod(in_inner)) if in_inner else 1
     B = x0.shape[0]
-    cols = []
+    # linearize once (one primal pass), then vmap the linear map over
+    # the idim basis tangents broadcast across the batch
+    _, lin = jax.linearize(fn, x0)
     eye = jnp.eye(idim, dtype=x0.dtype)
-    for q in range(idim):
-        tan = jnp.broadcast_to(eye[q].reshape((1,) + in_inner), x0.shape)
-        _, jv = jax.jvp(fn, (x0,), (tan,))
-        cols.append(jv.reshape(B, -1))
-    return jnp.stack(cols, axis=2)  # (B, odim, idim)
+    tans = jnp.broadcast_to(
+        eye.reshape((idim, 1) + in_inner), (idim, B) + in_inner
+    )
+    cols = jax.vmap(lin)(tans)  # (idim, B, *out_inner)
+    return jnp.moveaxis(cols.reshape(idim, B, -1), 0, 2)  # (B, odim, idim)
 
 
 # ----------------------------------------------------------------------------

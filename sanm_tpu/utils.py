@@ -124,8 +124,14 @@ class ScopedProfiler:
             return False
         if self.block:
             import jax
+            import jax.numpy as jnp
 
             jax.effects_barrier()
+            # effects_barrier only drains host callbacks; enqueue a
+            # trivial computation and wait on it so asynchronously
+            # dispatched device work is attributed to THIS scope rather
+            # than whichever scope first touches its results
+            (jnp.zeros(()) + 0.0).block_until_ready()
         dt = time.perf_counter() - self._t0
         node = self._node
         with self._lock:
