@@ -65,10 +65,7 @@ def run_solve():
 
     # timed full solve with warm caches: restart from scratch
     t0 = time.perf_counter()
-    solver.xt0 = np.concatenate([model.x0(), [0.0]])
-    solver._converged = False
-    solver._residual_rms = np.inf
-    solver.solve_expansion_coeffs()
+    solver.reset()
     it = 0
     while not solver.converged():
         solver.next_iter()

@@ -271,9 +271,10 @@ class _ANMDriverBase:
                 scale = max(np.linalg.norm(grad_t * tk + b), 1e-30)
                 diag.append(np.linalg.norm(resid) / scale)
             if k < hp.order:
-                carry, b_dev, caches = step_fn(
-                    carry, aux, k, jnp.asarray(coeffs[k]), caches
-                )
+                with ScopedProfiler("order_step", block=True):
+                    carry, b_dev, caches = step_fn(
+                        carry, aux, k, jnp.asarray(coeffs[k]), caches
+                    )
         return coeffs, np.asarray(diag)
 
     def _expansion_impl(self, xt0, v):
@@ -679,6 +680,7 @@ class ANMEqnSolver(ANMSolverVecScale):
             shard_elems, _defer_init=True,
         )
         sanm_assert(self.eqn_y.size == self.remap_out.n_out)
+        self._x0_init = np.asarray(x0).reshape(-1).copy()
         self.solve_expansion_coeffs()
 
     def on_fx0_computed(self, fx) -> bool:
@@ -713,6 +715,21 @@ class ANMEqnSolver(ANMSolverVecScale):
 
     def get_x(self):
         return self.xt0[: self.n]
+
+    def reset(self, x0=None):
+        """Restart the homotopy from ``x0`` (default: the original start
+        point) reusing the compiled kernels and host assembler — the
+        warm path of a long-lived solver.  Runs the first expansion."""
+        if x0 is None:
+            x0 = self._x0_init
+        self.xt0 = np.concatenate([np.asarray(x0).reshape(-1), [0.0]])
+        self._converged = False
+        self._residual_rms = np.inf
+        self._pade = None
+        self._t_max = 0.0
+        self._t_max_a = 0.0
+        self.solve_expansion_coeffs()
+        return self
 
 
 class ANMImplicitSolver(_ANMDriverBase):
