@@ -71,6 +71,12 @@ class HyperParam:
     # (compile-time independent of order; required for large programs on
     # compile-constrained TPU environments).  "auto" picks by order.
     loop: str = "auto"
+    # precision of the order>=2 graph passes in hybrid mode: f64 is
+    # native on CPU but ~20x-emulated on TPU; "auto" keeps f64 on CPU
+    # and switches to f32 elsewhere (the error-correcting restarts
+    # absorb the bounded coefficient noise — the Jacobian, the
+    # factorization, and all residual evaluations stay f64).
+    graph_dtype: str = "auto"
 
 
 @dataclass
@@ -154,12 +160,36 @@ class _ANMDriverBase:
     # libsanm/sparse_solver.cpp, while all batched element work stays on
     # the accelerator)
     # ------------------------------------------------------------------
+    def _pass_dtype(self):
+        """Dtype of the order>=2 graph passes (hybrid mode)."""
+        import os
+
+        mode = os.environ.get("SANM_GRAPH_DTYPE") or self.hp.graph_dtype
+        if mode == "auto":
+            mode = "f64" if jax.default_backend() == "cpu" else "f32"
+        if mode not in ("f32", "f64"):
+            raise SANMError(f"unknown graph_dtype {mode}")
+        return jnp.float32 if mode == "f32" else jnp.float64
+
+    def _pass_tfn(self, dtype):
+        """TaylorFn used for the high-order passes (f32 retrace cached)."""
+        if dtype == jnp.float64:
+            return self.tfn
+        if getattr(self, "_tfn32", None) is None:
+            from ..taylor import cast_taylor_fn
+
+            self._tfn32 = cast_taylor_fn(self.tfn, dtype)
+        return self._tfn32
+
     def _hybrid_fns(self):
         if getattr(self, "_hyb", None) is not None:
             return self._hyb
         from ..taylor_scan import ScanEngine
 
         order = self.hp.order
+        pdt = self._pass_dtype()
+        tfn_pass = self._pass_tfn(pdt)
+        mixed = tfn_pass is not self.tfn
 
         def prepare(xt0):
             eng = self.tfn.engine()
@@ -172,7 +202,16 @@ class _ANMDriverBase:
             J = batched_jacobian(jacf, gin0)
             asm = self._assembler()
             data, gt_asm = asm.assemble_csr(J)
-            seng = ScanEngine(eng, order)
+            if mixed:
+                # re-run order 0 in the pass dtype so every series
+                # coefficient lives in one consistent precision
+                eng_p = tfn_pass.engine()
+                eng_p.start(gin0.astype(pdt))
+                if eng_p.order_bias() is not None:
+                    raise SANMError("order-1 bias must be structurally zero")
+            else:
+                eng_p = eng
+            seng = ScanEngine(eng_p, order)
             carry = seng.init_carry()
             aux = seng.pack_aux()
             if gt_asm is None:
@@ -180,32 +219,35 @@ class _ANMDriverBase:
             return carry, aux, data, gt_asm
 
         def bias_fn(carry, aux, k):
-            seng = ScanEngine.from_aux(self.tfn, order, aux)
+            seng = ScanEngine.from_aux(tfn_pass, order, aux)
             b_out, caches = seng.order_bias(carry, k)
             if b_out is None:
-                oav = self.tfn.jaxpr.outvars[0].aval
+                oav = tfn_pass.jaxpr.outvars[0].aval
                 b_out = jnp.zeros(oav.shape, oav.dtype)
-            return self.remap_out.apply(b_out).reshape(-1), caches
+            return (
+                self.remap_out.apply(b_out).reshape(-1).astype(jnp.float64),
+                caches,
+            )
 
         def commit_fn(carry, aux, k, xt_k, caches):
-            seng = ScanEngine.from_aux(self.tfn, order, aux)
-            gin = self.remap_inp.apply(self.prepare_inp(xt_k))
+            seng = ScanEngine.from_aux(tfn_pass, order, aux)
+            gin = self.remap_inp.apply(self.prepare_inp(xt_k)).astype(pdt)
             return seng.push(carry, k, gin, caches)
 
         def step_fn(carry, aux, k, xt_k, caches):
             """Fused commit(k) + bias(k+1): one device dispatch per order
             instead of two — the per-call latency of the remote TPU
             tunnel is a significant share of the warm iteration time."""
-            seng = ScanEngine.from_aux(self.tfn, order, aux)
-            gin = self.remap_inp.apply(self.prepare_inp(xt_k))
+            seng = ScanEngine.from_aux(tfn_pass, order, aux)
+            gin = self.remap_inp.apply(self.prepare_inp(xt_k)).astype(pdt)
             carry = seng.push(carry, k, gin, caches)
             b_out, caches2 = seng.order_bias(carry, k + 1)
             if b_out is None:
-                oav = self.tfn.jaxpr.outvars[0].aval
+                oav = tfn_pass.jaxpr.outvars[0].aval
                 b_out = jnp.zeros(oav.shape, oav.dtype)
             return (
                 carry,
-                self.remap_out.apply(b_out).reshape(-1),
+                self.remap_out.apply(b_out).reshape(-1).astype(jnp.float64),
                 caches2,
             )
 

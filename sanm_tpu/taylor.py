@@ -108,13 +108,15 @@ def _default_hist_needs(eqn):
 
 
 def _hi_params(eqn):
-    """Force HIGHEST precision on f64 dot_generals: TPU's default f64
-    matmul emulation is not accurate enough for Taylor coefficients."""
+    """Force HIGHEST precision on float dot_generals: TPU's default f64
+    matmul emulation is not accurate enough for Taylor coefficients, and
+    the default f32 path drops to bf16 MXU passes (~8 mantissa bits) —
+    both destroy high-order coefficients."""
     from jax import lax as _lx
 
-    if (
-        eqn.primitive is _lx.dot_general_p
-        and eqn.outvars[0].aval.dtype == jnp.float64
+    if eqn.primitive is _lx.dot_general_p and eqn.outvars[0].aval.dtype in (
+        jnp.float64,
+        jnp.float32,
     ):
         return {
             **eqn.params,
@@ -336,6 +338,67 @@ class TaylorEngine:
         self.k = k
         self._pending = False
         return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+def cast_taylor_fn(tfn: TaylorFn, dtype) -> TaylorFn:
+    """Retrace ``tfn`` with every floating value (inputs, closed-over
+    constants, literals) cast to ``dtype``.
+
+    Used for mixed-precision order loops: TPU f64 is emulated (~20x
+    native f32), so the high-order graph passes run in f32 while the
+    Jacobian, factorization, and residual evaluations stay f64 — the
+    ANM error-correcting restarts absorb the bounded coefficient noise
+    (reference runs all-f64 on CPU where it is native,
+    ``libsanm/typedefs.h:12``)."""
+    import numpy as np
+
+    dtype = jnp.dtype(dtype)
+    f64 = jnp.dtype(jnp.float64)
+    jaxpr = tfn.jaxpr
+
+    def _cast(x):
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != dtype:
+            return x.astype(dtype)
+        return x
+
+    def fn(*xs):
+        env = {}
+        for v, c in zip(jaxpr.constvars, tfn.consts):
+            env[v] = _cast(c)
+        for v, x in zip(jaxpr.invars, xs):
+            env[v] = x
+
+        def read(v):
+            if isinstance(v, jcore.Literal):
+                return _cast(v.val)
+            return env[v]
+
+        for idx, eqn, outs_used in tfn.live_eqns:
+            invals = [read(v) for v in eqn.invars]
+            params = dict(eqn.params)
+            for key in ("new_dtype", "dtype", "preferred_element_type"):
+                if key in params and params[key] == f64:
+                    params[key] = dtype
+            outs = eqn.primitive.bind(*invals, **params)
+            if not eqn.primitive.multiple_results:
+                outs = [outs]
+            for v, o in zip(eqn.outvars, outs):
+                if not isinstance(v, jcore.DropVar):
+                    env[v] = o
+        outs = [read(v) for v in jaxpr.outvars]
+        return outs[0] if len(outs) == 1 else tuple(outs)
+
+    example = [
+        jax.ShapeDtypeStruct(
+            v.aval.shape,
+            dtype
+            if jnp.issubdtype(v.aval.dtype, jnp.floating)
+            else v.aval.dtype,
+        )
+        for v in jaxpr.invars
+    ]
+    return TaylorFn(fn, *example)
 
 
 # ----------------------------------------------------------------------------
