@@ -136,17 +136,49 @@ class LinearRemap:
         return self._transposed
 
 
+def _row_unique(vals, pad):
+    """Per-row unique of a (B, W) int array where ``pad`` marks dead
+    slots (pad must compare greater than every live value).
+
+    Returns ``(uniq (B, D), loc (B, W), D)``: ``uniq`` padded with
+    ``pad``; ``loc[b, w]`` is the local index of ``vals[b, w]`` within
+    ``uniq[b]`` (arbitrary-but-valid for dead slots, whose coefficients
+    are zero)."""
+    B, W = vals.shape
+    order = np.argsort(vals, axis=1, kind="stable")
+    sv = np.take_along_axis(vals, order, axis=1)
+    isnew = np.ones((B, W), bool)
+    isnew[:, 1:] = sv[:, 1:] != sv[:, :-1]
+    isnew &= sv != pad  # dead slots sort last
+    loc_sorted = np.cumsum(isnew, axis=1) - 1
+    D = max(int(loc_sorted.max(initial=-1)) + 1, 1)
+    uniq = np.full((B, D), pad, vals.dtype)
+    bidx = np.broadcast_to(np.arange(B)[:, None], (B, W))
+    uniq[bidx[isnew], loc_sorted[isnew]] = sv[isnew]
+    loc = np.empty((B, W), np.int64)
+    np.put_along_axis(loc, order, np.maximum(loc_sorted, 0), axis=1)
+    return uniq, loc, D
+
+
 class SparseAssembler:
     """Static-topology sparse assembly of A = R_out blockdiag(J) R_in.
 
     TPU-native replacement for the reference's per-thread CSR builders
     (``SparseSolver::MatBuilder`` + ``build_sparse_coeff``,
-    ``libsanm/sparse_solver.cpp:229-325``, ``libsanm/anm.cpp:362-438``):
-    the (row, col) of every padded element-stiffness contribution slot is
-    known from the mesh topology, so the CSR structure and a
-    slot -> nnz-position map are precomputed once on the host; each
-    expansion then computes all contribution values as one batched
-    einsum and scatter-adds them into the CSR value array on device.
+    ``libsanm/sparse_solver.cpp:229-325``, ``libsanm/anm.cpp:362-438``),
+    in classic FEM element-stiffness form: per element ``b`` the remaps
+    touch only a handful of distinct global rows/columns (the element's
+    vertex DOFs), so A decomposes as::
+
+        E[b] = Lout[b] @ J[b] @ Lin[b]          (B, Dout, Din)
+        A[loc_rows[b, i], loc_cols[b, j]] += E[b, i, j]
+
+    where ``Lout[b] (Dout, odim)`` / ``Lin[b] (idim, Din)`` collapse the
+    remaps' per-slot coefficients onto the element's distinct unknowns.
+    Compared with enumerating every (out-slot x in-slot) contribution
+    pair this shrinks the slot space by ~500x (tets: Dout=12, Din<=13)
+    — the einsum is pure batched MXU work and the host-side CSR mapping
+    is O(B * Dout * Din).
 
     For the implicit driver, contributions whose column equals
     ``n_unknown`` (the t column) are routed to a separate ``grad_t``
@@ -159,77 +191,85 @@ class SparseAssembler:
         self.B, self.odim, self.idim = B, odim, idim
         self.n = int(n_unknown)
         self.n_rows = remap_out.n_out
+        n = self.n
+
+        # ---- columns: distinct unknowns read by each element ----------
+        in_idx = remap_in._np_idx.reshape(B, -1).astype(np.int64)
+        in_coef = remap_in._np_coef.reshape(B, -1)
+        col_pad = n + 1  # real cols in [0, n]; n = the t column
+        cvals = np.where(in_coef != 0, in_idx, col_pad)
+        loc_cols, cloc, Din = _row_unique(cvals, col_pad)
+        Lin = np.zeros((B, idim, Din))
+        bI = np.broadcast_to(np.arange(B)[:, None], cvals.shape)
+        qI = np.broadcast_to(
+            np.repeat(np.arange(idim), in_idx.shape[1] // idim)[None, :],
+            cvals.shape,
+        )
+        np.add.at(Lin, (bI, qI, cloc), in_coef)
+
+        # ---- rows: distinct unknowns written by each element ----------
         outT_idx, outT_coef = remap_out.transposed_padded()
-        T = outT_idx.shape[1]
-        S = remap_in._np_idx.shape[1]
-        self.T, self.S = T, S
-        # rows/cols per contribution slot (B, odim, T, idim, S)
+        oT = outT_idx.reshape(B, -1).astype(np.int64)
+        oC = outT_coef.reshape(B, -1)
+        row_pad = self.n_rows
+        rvals = np.where(oC != 0, oT, row_pad)
+        loc_rows, rloc, Dout = _row_unique(rvals, row_pad)
+        Lout = np.zeros((B, Dout, odim))
+        bO = np.broadcast_to(np.arange(B)[:, None], rvals.shape)
+        pO = np.broadcast_to(
+            np.repeat(np.arange(odim), oT.shape[1] // odim)[None, :],
+            rvals.shape,
+        )
+        np.add.at(Lout, (bO, rloc, pO), oC)
+
+        self.Dout, self.Din = Dout, Din
+        self._Lout, self._Lin = Lout, Lin
+
+        # ---- CSR structure over the (B, Dout, Din) element slots -------
         rows = np.broadcast_to(
-            outT_idx.reshape(B, odim, T, 1, 1), (B, odim, T, idim, S)
+            loc_rows[:, :, None], (B, Dout, Din)
         ).reshape(-1)
         cols = np.broadcast_to(
-            remap_in._np_idx.reshape(B, 1, 1, idim, S),
-            (B, odim, T, idim, S),
+            loc_cols[:, None, :], (B, Dout, Din)
         ).reshape(-1)
-        alive = (
-            np.broadcast_to(
-                (outT_coef != 0).reshape(B, odim, T, 1, 1),
-                (B, odim, T, idim, S),
-            ).reshape(-1)
-            & np.broadcast_to(
-                (remap_in._np_coef != 0).reshape(B, 1, 1, idim, S),
-                (B, odim, T, idim, S),
-            ).reshape(-1)
-        )
-        is_t = cols >= self.n  # t column (implicit driver)
-        mat_slot = alive & ~is_t
-        # CSR structure for the matrix part
-        keys = rows.astype(np.int64) * (self.n + 1) + np.where(
-            mat_slot, cols, self.n
-        )
-        uniq, inv = np.unique(
-            np.where(mat_slot, keys, -1), return_inverse=True
-        )
-        # uniq[0] may be -1 (all dead/t slots)
+        dead = (rows == row_pad) | (cols == col_pad)
+        is_t = ~dead & (cols == n)
+        mat_slot = ~dead & ~is_t
+        keys = np.where(mat_slot, rows * (n + 2) + cols, -1)
+        uniq, inv = np.unique(keys, return_inverse=True)
         offset = 1 if len(uniq) and uniq[0] == -1 else 0
         self.nnz = len(uniq) - offset
         uk = uniq[offset:]
-        csr_rows = (uk // (self.n + 1)).astype(np.int32)
-        self.csr_cols = (uk % (self.n + 1)).astype(np.int32)
-        self.csr_rowidx = csr_rows  # COO row index per nnz
-        # slot -> position: nnz position for matrix slots, nnz (dump)
-        # else.  Kept as NUMPY so traces never cache tracer constants.
-        pos = inv - offset
-        self.slot_pos = np.where(mat_slot, pos, self.nnz).astype(np.int32)
-        # t-column slots -> row index (grad_t accumulation)
-        self.t_slot_row = np.where(
-            alive & is_t, rows, self.n_rows
+        self.csr_rowidx = (uk // (n + 2)).astype(np.int32)  # COO rows
+        self.csr_cols = (uk % (n + 2)).astype(np.int32)
+        # slot -> nnz position (dump slot nnz for dead/t).  Kept as NUMPY
+        # so traces never cache tracer constants.
+        self.slot_pos = np.where(
+            mat_slot, inv - offset, self.nnz
         ).astype(np.int32)
-        self.has_t = bool((alive & is_t).any())
-        self._outT_coef = outT_coef
-        self._in_coef = remap_in._np_coef
+        # t-column slots -> row index (grad_t accumulation)
+        self.t_slot_row = np.where(is_t, rows, self.n_rows).astype(
+            np.int32
+        )
+        self.has_t = bool(is_t.any())
 
         # block-diagonal 3x3 (or generic dim) lookup for preconditioning:
         # positions of (3v+i, 3v+j) entries
         self._diag_map = None
 
-    def contrib_values(self, jac):
-        """All contribution values (flat), matching slot ordering."""
-        outT_coef = jnp.asarray(self._outT_coef).reshape(
-            self.B, self.odim, self.T
-        )
-        in_coef = jnp.asarray(self._in_coef).reshape(
-            self.B, self.idim, self.S
-        )
-        vals = jnp.einsum(
-            "bpt,bpq,bqs->bptqs", outT_coef, jac, in_coef,
+    def element_stiffness(self, jac):
+        """Per-element condensed stiffness E[b] = Lout[b] J[b] Lin[b]."""
+        return jnp.einsum(
+            "bdp,bpq,bqe->bde",
+            jnp.asarray(self._Lout),
+            jac,
+            jnp.asarray(self._Lin),
             precision="highest",
         )
-        return vals.reshape(-1)
 
     def assemble_csr(self, jac):
         """Returns (csr_values (nnz,), grad_t (n_rows,) or None)."""
-        vals = self.contrib_values(jac)
+        vals = self.element_stiffness(jac).reshape(-1)
         data = jnp.zeros((self.nnz + 1,), vals.dtype).at[
             jnp.asarray(self.slot_pos)
         ].add(vals)[: self.nnz]

@@ -58,7 +58,14 @@ class TestAssembler:
                 model.lt_inp.n_unknown_vtx,
             )
         )
-        require_tensor_eq(A_csr, A_ref, 1e-12, msg="csr vs dense assembly")
+        # margin = matrix scale: stiffness entries cancel to ~0 at some
+        # positions, and the element-condensed assembly (Lout J Lin) sums
+        # in a different order than the dense slot enumeration — roundoff
+        # there is relative to the ~1e5 term magnitudes, not the result
+        require_tensor_eq(
+            A_csr, A_ref, 1e-12, margin=float(np.abs(A_ref).max()),
+            msg="csr vs dense assembly",
+        )
         # matvec consistency
         x = np.random.default_rng(0).standard_normal(A_ref.shape[1])
         require_tensor_eq(
