@@ -42,17 +42,7 @@ def run_solve(overrides=()):
     with tempfile.TemporaryDirectory() as tmp:
         os.chdir(tmp)
         try:
-            TASKS[config["func"]](config, rootpath)
-            # task return values vary (gravity returns the mesh); the
-            # stat JSON on disk is the uniform result record
-            import glob
-
-            js = sorted(
-                glob.glob(config["out_filename"] + "*.json"),
-                key=os.path.getmtime,
-            )
-            with open(js[-1]) as f:
-                stat = json.load(f)
+            stat = TASKS[config["func"]](config, rootpath).stat
         finally:
             os.chdir(cwd)
     return stat

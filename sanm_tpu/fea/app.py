@@ -133,6 +133,18 @@ def run_anm_implicit(
 # ----------------------------------------------------------------------------
 
 
+class TaskResult:
+    """Uniform task return value: the deformed mesh + the stat dict that
+    is also written next to the output OBJ (reference stat emission,
+    ``fea/main.cpp:276-296``).  Every entry of :data:`TASKS` returns one,
+    so harnesses (bench.py, scripts/run_experiments.py) consume stats
+    from the return value instead of re-reading them off disk."""
+
+    def __init__(self, mesh, stat):
+        self.mesh = mesh
+        self.stat = stat
+
+
 def relative_displacement(v0, v1):
     v0 = np.asarray(v0)
     v1 = np.asarray(v1)
@@ -335,10 +347,10 @@ def _post_process(
             progress=progress,
         )
         norm = float(
-            np.linalg.norm(restored.vertices - deformable.mesh.vertices)
+            np.linalg.norm(restored.mesh.vertices - deformable.mesh.vertices)
         )
         print("invcheck norm: %g" % norm)
-    return out_mesh
+    return TaskResult(out_mesh, jstat)
 
 
 # ----------------------------------------------------------------------------
@@ -504,16 +516,16 @@ def test_single_tet_inverse(config, rootpath="."):
 
     f_load_full = np.zeros((4, 3))
     f_load_full[3, 2] = -1000.0
-    out_mesh = run_and_save(
+    res = run_and_save(
         "single tet inv", config, body, True, f_load_full
     )
     for i in range(4):
-        a, b = coords[i], out_mesh.vertices[i]
+        a, b = coords[i], res.mesh.vertices[i]
         print(
             "vertex %d: (%.3f, %.3f, %.3f) -> (%.3f, %.3f, %.3f)"
             % (i, *a, *b)
         )
-    return out_mesh
+    return res
 
 
 def test_cuboid(config, rootpath="."):
@@ -623,7 +635,9 @@ def test_cuboid_twist(config, rootpath="."):
     last_stat["V"] = mesh.nr_vertices
     last_stat["F"] = mesh.nr_tet
     save_json(out_filename + ".json", last_stat)
-    return vtx_cur
+    out_mesh = mesh.copy()
+    out_mesh.replace_vtx(vtx_cur)
+    return TaskResult(out_mesh, last_stat)
 
 
 def setup_boundary_by_config(body: DeformableBody, default_proj_dir, config):
@@ -744,7 +758,7 @@ def mesh_twist(config, rootpath="."):
         cfg2["save_interm"] = False
         mesh_deformed = run_and_save(
             "gravity_init", cfg2, body, False, f_load_full, save=False
-        )
+        ).mesh
         mesh_deformed.write_obj(out_filename + "-gravity.obj")
         vtx_cur = mesh_deformed.vertices.copy()
     else:
@@ -785,7 +799,7 @@ def mesh_twist(config, rootpath="."):
     save_json(out_filename + ".json", stat)
     if "out_surface_vtx" in config:
         mesh.write_surface_vtx(config["out_surface_vtx"])
-    return stat
+    return TaskResult(mesh, stat)
 
 
 TASKS = {
