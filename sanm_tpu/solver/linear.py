@@ -14,10 +14,11 @@ factorization primitive.  Paths:
 * :class:`DenseFactorSolver` — dense QR (general) or Cholesky
   (``A^T A + lambda I`` Tikhonov mode, reference
   ``sparse_solver.cpp:327-421``); exact, for small/medium systems.
-* :class:`BlockJacobiCG` — matrix-free preconditioned conjugate
-  gradient on the assembled operator with a block-Jacobi preconditioner
-  built once; for systems too large to densify.  (The matrix-free
-  matvec is gather -> batched 9x9 GEMM -> scatter, ideal TPU work.)
+* :class:`HostLUSolver` — host scipy sparse LU via ordered
+  ``io_callback``; the structural PARDISO analog for large systems.
+* :class:`SparseCG` — device-resident preconditioned CG on the
+  assembled CSR operator (gather + VPU + segment-add matvec, all
+  shardable over the element axis).
 
 All solvers are jit-traceable: construction and solves happen inside the
 jitted expansion kernel.
@@ -155,75 +156,6 @@ class DenseFactorSolver:
         """Frobenius norm of the system coefficients (reference
         ``SparseSolver::coeff_l2``)."""
         return jnp.sqrt(jnp.sum(self.A * self.A))
-
-
-class BlockJacobiCG:
-    """Matrix-free preconditioned CG with per-node block-Jacobi
-    preconditioner, for systems too large for dense factorization.
-
-    The operator is the assembled dense matrix-free triple product
-    ``R_out · blockdiag(J_e) · R_in``; ``matvec`` closures are supplied
-    by the caller (gather -> batched GEMM -> scatter: all MXU/VPU
-    friendly and shardable over elements).  The block-diagonal of A is
-    extracted once (the "factorization"); each per-order solve is a CG
-    run with fixed iteration cap.
-
-    NOTE: for symmetric-positive systems only; the ANM FEA stiffness is
-    symmetric (energy Hessian) near stable equilibria.  Round-1 scale
-    path; superseded by stronger preconditioners in later rounds.
-    """
-
-    def __init__(self, matvec, diag_blocks, block_size: int, n: int,
-                 tol: float = 1e-12, max_iter: int = 400):
-        self.matvec = matvec
-        self.n = n
-        self.bs = block_size
-        self.tol = tol
-        self.max_iter = max_iter
-        # invert the (n/bs) blocks once
-        nb = n // block_size
-        blocks = diag_blocks.reshape(nb, block_size, block_size)
-        self._binv = jnp.linalg.inv(blocks)
-
-    def _precond(self, r):
-        nb = self.n // self.bs
-        return jnp.einsum(
-            "nij,nj->ni", self._binv, r.reshape(nb, self.bs)
-        ).reshape(-1)
-
-    def solve(self, b):
-        b = b.reshape(-1)
-
-        def body(state):
-            x, r, z, p, rz, it = state
-            Ap = self.matvec(p)
-            alpha = rz / jnp.vdot(p, Ap)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = self._precond(r)
-            rz_new = jnp.vdot(r, z)
-            beta = rz_new / rz
-            p = z + beta * p
-            return x, r, z, p, rz_new, it + 1
-
-        def cond(state):
-            x, r, z, p, rz, it = state
-            return (jnp.linalg.norm(r) > self.tol * jnp.linalg.norm(b)) & (
-                it < self.max_iter
-            )
-
-        x0 = jnp.zeros_like(b)
-        r0 = b
-        z0 = self._precond(r0)
-        state = (x0, r0, z0, z0, jnp.vdot(r0, z0), 0)
-        x, r, *_ = jax.lax.while_loop(cond, body, state)
-        return x
-
-    def apply(self, x):
-        return self.matvec(x.reshape(-1))
-
-    def coeff_l2(self):
-        return jnp.asarray(0.0)
 
 
 class HostLUSolver:
