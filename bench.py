@@ -8,11 +8,12 @@ and prints ONE JSON line.
 ``value`` is the *warm* solve time: a full re-solve on a long-lived
 solver (compiled kernels + host assembler reused) — the analog of the
 reference's in-process timing, excluding XLA compilation.
-``vs_baseline`` = host-CPU warm wall time of the *same* solver / TPU
-warm wall time (the reference's headline protocol compares against a
-32-thread MKL CPU; the host-CPU run of our own solver is the CPU
-reference proxy).  See RESULTS.md for the Newton-baseline comparison
-(gmean 4.39x on the reference harness).
+``vs_baseline`` = warm wall time of the projected-Newton baseline
+(reference ``fea/baseline``, reimplemented in JAX) over the SANM warm
+wall time, with BOTH solvers on the same accelerator — the reference's
+headline protocol is SANM vs Newton at a fixed 1e-10 residual on shared
+hardware (``render/cmp_with_baseline.sh``).  See RESULTS.md for the full
+experiment matrix.
 """
 
 import json
@@ -49,27 +50,29 @@ def run_solve(overrides=()):
 
 
 def main():
-    if os.environ.get("SANM_BENCH_CPU"):
+    if os.environ.get("SANM_BENCH_BASELINE"):
         # baseline leg: the reference's projected-Newton solver on the
-        # host CPU, same mesh / energy / 1e-10 target (the reference's
-        # headline protocol is SANM vs Newton at fixed residual,
-        # render/cmp_with_baseline.sh)
-        os.environ["SANM_PLATFORM"] = "cpu"
+        # same accelerator, same mesh / energy / 1e-10 target (the
+        # reference's headline protocol is SANM vs Newton at fixed
+        # residual, render/cmp_with_baseline.sh).  Runs in a subprocess
+        # so its compiled kernels don't pollute the SANM process.
         ov = os.path.join(os.path.dirname(CONFIG), "override_baseline.json")
         stat = run_solve([ov])
         print(json.dumps({
-            "newton_cpu_warm": stat["time_solve_warm"],
+            "newton_warm": stat.get("time_solve_warm", stat.get("time")),
             "newton_iters": stat.get("iter_tot"),
+            "newton_force_rms": stat.get("force_rms_refine",
+                                         stat.get("force_rms")),
         }))
         return
 
     stat = run_solve()
     t_warm = stat["time_solve_warm"]
 
-    # Newton-baseline leg in a subprocess (fresh CPU backend)
+    # Newton-baseline leg in a subprocess (fresh backend, same device)
     newton = None
     try:
-        env = dict(os.environ, SANM_BENCH_CPU="1")
+        env = dict(os.environ, SANM_BENCH_BASELINE="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -84,23 +87,26 @@ def main():
     except Exception:
         pass
 
+    import jax
+
     result = {
         "metric": "warm time_solve Armadillo-small NHC gravity order=20 "
-        "to force-RMS 1e-10 (vs projected-Newton baseline)",
+        "to force-RMS 1e-10 (vs projected-Newton baseline, same device)",
         "value": round(t_warm, 4),
         "unit": "s",
         "vs_baseline": (
-            round(newton["newton_cpu_warm"] / t_warm, 3) if newton else 0.0
+            round(newton["newton_warm"] / t_warm, 3) if newton else 0.0
         ),
         "detail": {
             "iters": stat["iter"],
             "force_rms": stat["force_rms_recomp"],
             "cold_time_solve_s": round(stat["time_solve"], 2),
             "newton_baseline_warm_s": (
-                round(newton["newton_cpu_warm"], 2) if newton else None
+                round(newton["newton_warm"], 2) if newton else None
             ),
             "newton_iters": newton.get("newton_iters") if newton else None,
-            "same_solver_host_cpu_warm_s": 23.3,
+            "device": str(jax.devices()[0].device_kind),
+            "host_cores": os.cpu_count(),
             "mesh": {"V": stat["mesh_V"], "T": stat["mesh_F"]},
         },
     }

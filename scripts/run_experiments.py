@@ -80,6 +80,7 @@ def run_cell(out_dir, mesh, energy, solver, task, extra_env):
 
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.setdefault("SANM_WARM_TIMING", "1")
     env.update(extra_env)
     log = os.path.join(cell_dir, "log.txt")
     print(f"[run ] {cell}")

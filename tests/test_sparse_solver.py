@@ -146,3 +146,34 @@ def test_implicit_solver_host_lu():
     require_tensor_eq(
         (np.asarray(xt) + dx) ** 1.5, x0**1.5, 1e-4, msg="implicit host_lu"
     )
+
+
+def test_factorization_reuse_across_restarts():
+    """Stale-Jacobian restarts (hybrid mode): when the continuation
+    point barely moves between error-correcting restarts, the hybrid
+    loop reuses the previous factorization (an inexact-Newton scheme,
+    no reference analog) and must still converge to the same solution
+    as the always-fresh path."""
+    body, f_load = make_problem()
+    em = EnergyModel.NEOHOOKEAN_C
+
+    def solve(reuse_step):
+        model = body.make_forward(em)
+        f_sub = model.lt_inp.copy_vtx_values(f_load)
+        hp = EqnHyperParam(
+            order=8, use_pade=True, solver="host_lu", loop="hybrid",
+        )
+        hp.converge_rms = RMS_THRESH_FORCE_EQU
+        hp.fact_reuse_rel_step = reuse_step
+        s = ANMEqnSolver(
+            model.fn, model.lt_inp.remap, model.lt_out.remap, model.x0(),
+            f_sub, hp,
+        )
+        x = np.asarray(run_anm_eqn(s, progress=False))
+        return x, s
+
+    ref, s_off = solve(0.0)
+    assert not getattr(s_off, "_last_fact_reused", False)
+    got, s_on = solve(1e-2)
+    require_tensor_eq(got, ref, 1e-8, msg="fact reuse vs fresh")
+    assert s_on.residual_rms() < RMS_THRESH_FORCE_EQU
