@@ -200,6 +200,7 @@ class _ANMDriverBase:
         pdt = self._pass_dtype()
         tfn_pass = self._pass_tfn(pdt)
         mixed = tfn_pass is not self.tfn
+        asm = self._assembler()
 
         def prepare(xt0):
             eng = self.tfn.engine()
@@ -235,21 +236,23 @@ class _ANMDriverBase:
                 oav = tfn_pass.jaxpr.outvars[0].aval
                 b_out = jnp.zeros(oav.shape, oav.dtype)
             return (
-                self.remap_out.apply(b_out).reshape(-1).astype(jnp.float64),
+                asm.apply_out(b_out, pdt).astype(jnp.float64),
                 caches,
             )
 
         def commit_fn(carry, aux, k, xt_k, caches):
             seng = ScanEngine.from_aux(tfn_pass, order, aux)
-            gin = self.remap_inp.apply(self.prepare_inp(xt_k)).astype(pdt)
+            gin = asm.apply_in(xt_k, pdt)
             return seng.push(carry, k, gin, caches)
 
         def step_fn(carry, aux, k, xt_k, caches):
-            """Fused commit(k) + bias(k+1): one device dispatch per order
-            instead of two — the per-call latency of the remote TPU
-            tunnel is a significant share of the warm iteration time."""
+            """Fused commit(k) + bias(k+1): one device dispatch per order.
+            The remaps run in their element-condensed MXU form
+            (``SparseAssembler.apply_in/apply_out``): the padded-gather
+            form of ``LinearRemap.apply`` on the wide force-output remap
+            measured 109 ms/order at 42k tets (TPU gathers are scalar)."""
             seng = ScanEngine.from_aux(tfn_pass, order, aux)
-            gin = self.remap_inp.apply(self.prepare_inp(xt_k)).astype(pdt)
+            gin = asm.apply_in(xt_k, pdt)
             carry = seng.push(carry, k, gin, caches)
             b_out, caches2 = seng.order_bias(carry, k + 1)
             if b_out is None:
@@ -257,7 +260,7 @@ class _ANMDriverBase:
                 b_out = jnp.zeros(oav.shape, oav.dtype)
             return (
                 carry,
-                self.remap_out.apply(b_out).reshape(-1).astype(jnp.float64),
+                asm.apply_out(b_out, pdt).astype(jnp.float64),
                 caches2,
             )
 

@@ -224,6 +224,11 @@ class SparseAssembler:
 
         self.Dout, self.Din = Dout, Din
         self._Lout, self._Lin = Lout, Lin
+        # element-condensed remap applications (see apply_in/apply_out)
+        self._loc_rows = loc_rows.astype(np.int32)  # (B, Dout), pad=n_rows
+        self._loc_cols = loc_cols.astype(np.int32)  # (B, Din), pad=n+1
+        self._gin_shape = remap_in.out_shape
+        self._apply_cache = {}
 
         # ---- CSR structure over the (B, Dout, Din) element slots -------
         rows = np.broadcast_to(
@@ -256,6 +261,56 @@ class SparseAssembler:
         # block-diagonal 3x3 (or generic dim) lookup for preconditioning:
         # positions of (3v+i, 3v+j) entries
         self._diag_map = None
+
+    # ------------------------------------------------------------------
+    # element-condensed remap applications.  ``LinearRemap.apply`` on the
+    # force-output remap is a (n_rows, T~350)-wide arbitrary gather —
+    # measured 109 ms/order on TPU v5e at 42k tets (TPU gathers run at
+    # scalar speed; the reference's CPU never sees this because its remap
+    # walk is cache-friendly, ``libsanm/anm.cpp:19-88``).  The condensed
+    # form runs the per-element contraction on the MXU and touches only
+    # (B, Dout) scatter / (B, Din) gather elements — ~28x fewer.
+    def _lio(self, dtype):
+        # cache NUMPY casts only: jnp conversion must happen inside the
+        # caller's trace (a cached in-trace constant would leak tracers)
+        key = np.dtype(dtype).str
+        if key not in self._apply_cache:
+            self._apply_cache[key] = (
+                self._Lin.astype(dtype),
+                self._Lout.astype(dtype),
+            )
+        Lin, Lout = self._apply_cache[key]
+        return (
+            jnp.asarray(Lin),
+            jnp.asarray(Lout),
+            jnp.asarray(self._loc_cols),
+            jnp.asarray(self._loc_rows),
+        )
+
+    def apply_in(self, xt, dtype=None):
+        """remap_in applied to the full (n+1,) solver vector (the t entry
+        included; ignored when the remap has no t column).  Returns the
+        (B, idim)-shaped graph input, flattened per element."""
+        dtype = dtype or xt.dtype
+        Lin, _, loc_cols, _ = self._lio(dtype)
+        xp = jnp.concatenate(
+            [xt.astype(dtype), jnp.zeros((1,), dtype)]
+        )  # index n+1 = dead padding
+        g = xp[loc_cols]  # (B, Din) gather — small
+        gin = jnp.einsum("bqd,bd->bq", Lin, g, precision="highest")
+        return gin.reshape(self._gin_shape)
+
+    def apply_out(self, b, dtype=None):
+        """remap_out applied to the (B, odim) graph output; returns the
+        assembled (n_rows,) vector."""
+        dtype = dtype or b.dtype
+        _, Lout, _, loc_rows = self._lio(dtype)
+        contrib = jnp.einsum(
+            "bdp,bp->bd", Lout, b.reshape(self.B, self.odim).astype(dtype),
+            precision="highest",
+        )
+        out = jnp.zeros((self.n_rows + 1,), dtype).at[loc_rows].add(contrib)
+        return out[: self.n_rows]
 
     def element_stiffness(self, jac):
         """Per-element condensed stiffness E[b] = Lout[b] J[b] Lin[b]."""

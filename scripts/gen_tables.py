@@ -14,6 +14,7 @@ import glob
 import json
 import math
 import os
+import re
 import sys
 from collections import defaultdict
 
@@ -40,6 +41,29 @@ def load_cells(root):
                 stats.values()
             )[0]
     return cells
+
+
+_PROF_LINE = re.compile(
+    r"^(\s*)([\w<>]+): calls=\d+ tot=([\d.]+)s", re.M
+)
+
+
+def sparse_share(cell_dir):
+    """(sparse_prep + sparse_solve) / solve_expansion_coeffs wall time,
+    parsed from the cell log's ScopedProfiler report (counterpart of
+    the reference's profiler-log parsing,
+    ``render/gen_table_figs.py:328-339``).  Aggregates over the whole
+    process (cold + warm solves)."""
+    log = os.path.join(cell_dir, "log.txt")
+    if not os.path.exists(log):
+        return None
+    tot = {}
+    for _, name, secs in _PROF_LINE.findall(open(log).read()):
+        tot[name] = tot.get(name, 0.0) + float(secs)
+    solve = tot.get("solve_expansion_coeffs")
+    if not solve:
+        return None
+    return (tot.get("sparse_prep", 0.0) + tot.get("sparse_solve", 0.0)) / solve
 
 
 def cell_time(stat):
@@ -119,6 +143,19 @@ def main():
         mean = sum(saved) / len(saved)
         print(f"\nPade benefit: {mean:.2f} iterations saved on average "
               f"({len(saved)} cells)")
+
+    # sparse-solver share of solve time (gen_table_figs.py:328-339)
+    shares = []
+    for name in sorted(cells):
+        if "-sanm-" not in name:
+            continue
+        sh = sparse_share(os.path.join(root, name))
+        if sh is not None:
+            shares.append(sh)
+    if shares:
+        mean = sum(shares) / len(shares)
+        print(f"\nsparse-solver share of solve time: {mean:.1%} mean "
+              f"({len(shares)} sanm cells)")
 
 
 if __name__ == "__main__":

@@ -53,7 +53,7 @@ SOLVER_OVERRIDES = {
 }
 
 
-def run_cell(out_dir, mesh, energy, solver, task, extra_env):
+def run_cell(out_dir, mesh, energy, solver, task, extra_env, timeout=None):
     cell = f"{mesh}-{energy}-{solver}-{task}"
     cell_dir = os.path.join(out_dir, cell)
     done = os.path.join(cell_dir, "done")
@@ -81,13 +81,23 @@ def run_cell(out_dir, mesh, energy, solver, task, extra_env):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.setdefault("SANM_WARM_TIMING", "1")
+    # hierarchical profiler report in the cell log; gen_tables.py parses
+    # it for the sparse-solver share statistic (the reference pipeline
+    # does the same with its ScopedProfiler output,
+    # render/gen_table_figs.py:328-339)
+    env.setdefault("SANM_PROFILE", "1")
     env.update(extra_env)
     log = os.path.join(cell_dir, "log.txt")
-    print(f"[run ] {cell}")
-    with open(log, "w") as lf:
-        ret = subprocess.run(
-            args, cwd=cell_dir, env=env, stdout=lf, stderr=subprocess.STDOUT
-        ).returncode
+    print(f"[run ] {cell}", flush=True)
+    try:
+        with open(log, "w") as lf:
+            ret = subprocess.run(
+                args, cwd=cell_dir, env=env, stdout=lf,
+                stderr=subprocess.STDOUT, timeout=timeout,
+            ).returncode
+    except subprocess.TimeoutExpired:
+        print(f"[TIME] {cell}")
+        return False
     if ret == 0:
         open(done, "w").close()
         return True
@@ -108,6 +118,8 @@ def main():
     p.add_argument("--tasks", nargs="+", default=["gravity", "deform"])
     p.add_argument("--platform", default=None,
                    help="SANM_PLATFORM override (e.g. cpu)")
+    p.add_argument("--cell-timeout", type=int, default=5400,
+                   help="seconds per cell before giving up")
     args = p.parse_args()
 
     extra_env = {}
@@ -120,7 +132,8 @@ def main():
             for solver in args.solvers:
                 for task in args.tasks:
                     ok &= run_cell(
-                        args.out, mesh, energy, solver, task, extra_env
+                        args.out, mesh, energy, solver, task, extra_env,
+                        timeout=args.cell_timeout,
                     )
     sys.exit(0 if ok else 1)
 

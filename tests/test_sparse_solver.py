@@ -177,3 +177,28 @@ def test_factorization_reuse_across_restarts():
     got, s_on = solve(1e-2)
     require_tensor_eq(got, ref, 1e-8, msg="fact reuse vs fresh")
     assert s_on.residual_rms() < RMS_THRESH_FORCE_EQU
+
+
+def test_condensed_remap_applies_match():
+    """SparseAssembler.apply_in/apply_out (the MXU element-condensed
+    forms used by the hybrid hot loop) must equal the padded-gather
+    LinearRemap.apply on both remap directions."""
+    body, _ = make_problem()
+    model = body.make_forward(EnergyModel.NEOHOOKEAN_C)
+    rin, rout = model.lt_inp.remap, model.lt_out.remap
+    n = model.lt_inp.n_unknown_vtx
+    B = rin.out_shape[0]
+    asm = SparseAssembler(rout, rin, B, 9, 9, n)
+    rng = np.random.default_rng(0)
+
+    xt = jnp.asarray(rng.standard_normal(n + 1))
+    ref_in = rin.apply(xt[:n])
+    got_in = asm.apply_in(xt)
+    require_tensor_eq(np.asarray(got_in), np.asarray(ref_in), 1e-12,
+                      msg="apply_in")
+
+    b = jnp.asarray(rng.standard_normal((B, 3, 3)))
+    ref_out = rout.apply(b).reshape(-1)
+    got_out = asm.apply_out(b)
+    require_tensor_eq(np.asarray(got_out), np.asarray(ref_out), 1e-12,
+                      msg="apply_out")
