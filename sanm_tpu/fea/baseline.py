@@ -221,7 +221,9 @@ def _solve_dense(H, rhs, spd):
     if sp.issparse(H):
         import scipy.sparse.linalg as spla
 
-        return spla.splu(H.tocsc()).solve(rhs)
+        return spla.splu(
+            H.tocsc()
+        ).solve(rhs)
     if spd:
         try:
             c = sla.cho_factor(H)
