@@ -144,6 +144,49 @@ def main():
         print(f"\nPade benefit: {mean:.2f} iterations saved on average "
               f"({len(saved)} cells)")
 
+    # device-count scaling curve (gen_table_figs.py:60-81): reads the
+    # run_scaling.py output if present and writes a plot next to it
+    for scal in glob.glob(os.path.join(root, "scaling*.json")):
+        try:
+            data = json.load(open(scal))
+        except Exception:
+            continue
+        rs = data.get("results", [])
+        if len(rs) < 2:
+            continue
+        t1 = next(
+            (r["time_solve_warm"] for r in rs if r["n_devices"] == 1), None
+        )
+        print(f"\nscaling ({os.path.basename(scal)}; "
+              f"valid_parallel_timing={data.get('valid_parallel_timing')}):")
+        for r in rs:
+            sp = t1 / r["time_solve_warm"] if t1 else float("nan")
+            print(f"  {r['n_devices']:>2} device(s): "
+                  f"{r['time_solve_warm']:.2f}s  ({sp:.2f}x vs 1)")
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            ns = [r["n_devices"] for r in rs]
+            ts = [r["time_solve_warm"] for r in rs]
+            fig, ax = plt.subplots(figsize=(4, 3))
+            ax.plot(ns, ts, "o-", label="measured")
+            if t1:
+                ax.plot(ns, [t1 / n for n in ns], "--", label="ideal 1/x")
+            ax.set_xlabel("devices")
+            ax.set_ylabel("warm time_solve (s)")
+            ax.set_xscale("log", base=2)
+            ax.set_yscale("log")
+            ax.legend()
+            fig.tight_layout()
+            out = scal.replace(".json", ".png")
+            fig.savefig(out, dpi=120)
+            print(f"  plot: {out}")
+        except Exception as e:  # pragma: no cover
+            print("  (plot skipped: %s)" % e)
+
     # sparse-solver share of solve time (gen_table_figs.py:328-339)
     shares = []
     for name in sorted(cells):
