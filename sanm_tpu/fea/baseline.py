@@ -142,9 +142,8 @@ class _Kernels:
             """-dE/dx as (V, 3)."""
             return -jax.grad(energy)(vtx)
 
-        def hess_blocks(vtx):
-            """Per-element 12x12 energy Hessian blocks, optionally
-            eigen-projected (reference g_hessian_proj toggle)."""
+        def dpdf_blocks(vtx):
+            """Per-element 9x9 dP/dF blocks via basis-tangent JVPs."""
             F = deform_grad(vtx)
 
             def pk1_of(Fv):
@@ -156,23 +155,40 @@ class _Kernels:
                 tan = jnp.broadcast_to(eye[q].reshape(1, 3, 3), F.shape)
                 _, jv = jax.jvp(pk1_of, (F,), (tan,))
                 cols.append(jv.reshape(F.shape[0], 9))
-            dPdF = jnp.stack(cols, axis=2)  # (B, 9, 9)
-            if self.proj:
-                dPdF = 0.5 * (dPdF + jnp.swapaxes(dPdF, 1, 2))
-                w, v = jnp.linalg.eigh(dPdF)
-                w = jnp.maximum(w, 0.0)
-                dPdF = jnp.einsum("bik,bk,bjk->bij", v, w, v)
+            return jnp.stack(cols, axis=2)  # (B, 9, 9)
+
+        def assemble_k(dPdF):
             K = jnp.einsum(
                 "bfi,bfg,bgj,b->bij", G_j, dPdF, G_j, vol_j,
                 precision="highest",
             )
             if self.diag_reg:
-                K = K + self.diag_reg * jnp.eye(12, dtype=vtx.dtype)
+                K = K + self.diag_reg * jnp.eye(12, dtype=K.dtype)
             return K
 
+        self._dpdf_blocks = jax.jit(dpdf_blocks)
+        self._assemble_k = jax.jit(assemble_k)
         self.energy = jax.jit(energy)
         self.forces = jax.jit(forces)
-        self.hess_blocks = jax.jit(hess_blocks)
+
+    def hess_blocks(self, vtx):
+        """Per-element 12x12 energy Hessian blocks, optionally
+        eigen-projected (reference g_hessian_proj toggle,
+        ``baseline/neohookean_material.cpp:160-247``).
+
+        The 9x9 dP/dF JVP sweep and the G^T dPdF G contraction run on
+        the device; the eigen-projection runs in host NumPy — the TPU's
+        emulated-f64 batched ``eigh`` returns NaN on the near-degenerate
+        rest-state spectra (measured on v5e), and 9x9 LAPACK eigh for
+        ~40k blocks costs only ~0.2 s on the host."""
+        dPdF = self._dpdf_blocks(vtx)
+        if self.proj:
+            d = np.asarray(dPdF)
+            d = 0.5 * (d + np.swapaxes(d, 1, 2))
+            w, v = np.linalg.eigh(d)
+            w = np.maximum(w, 0.0)
+            dPdF = jnp.asarray(np.einsum("bik,bk,bjk->bij", v, w, v))
+        return self._assemble_k(dPdF)
 
 
 _SPARSE_THRESHOLD = 3000  # dofs beyond which scipy.sparse is used

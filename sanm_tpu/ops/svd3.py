@@ -29,10 +29,18 @@ def _rotate_pair(A, V, p, q):
     aqq = jnp.sum(aq * aq, axis=1)
     apq = jnp.sum(ap * aq, axis=1)
 
-    # rotation angle zeroing the (p,q) Gram entry
-    denom = 2.0 * apq
-    tau = (aqq - app) / jnp.where(denom == 0, 1.0, denom)
-    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    # rotation angle zeroing the (p,q) Gram entry.  Overflow-free form:
+    # the classical tau = (aqq-app)/(2*apq) overflows for tiny apq, and
+    # the TPU's double-double f64 emulation turns that overflow into
+    # NaN (inf - inf in the low word; measured: 4/19552 rest-state
+    # elements NaN'd the ARAP Jacobian).  Using
+    #   t = 2*apq*sign(d) / (|d| + sqrt(d^2 + 4*apq^2)),   d = aqq - app
+    # never divides by apq; the denominator is >= |d| and the arguments
+    # stay at the scale of the Gram entries.
+    d = aqq - app
+    den = jnp.abs(d) + jnp.sqrt(d * d + 4.0 * apq * apq)
+    sign_d = jnp.where(d < 0, -1.0, 1.0)
+    t = 2.0 * apq * sign_d / jnp.where(den == 0, 1.0, den)
     # skip (identity rotation) when already orthogonal enough: relative
     # threshold keeps tiny columns stable
     tiny = jnp.abs(apq) <= 1e-300 + 0.0 * app

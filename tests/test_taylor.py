@@ -461,3 +461,28 @@ class TestNumpyEval:
                 model.lt_out.remap.apply(jax.jit(model.fn)(g))
             ).reshape(-1)
             require_tensor_eq(f_np, f_dev, 1e-9, msg=f"force {em}")
+
+
+def test_svd3_no_overflow_near_orthogonal():
+    """Jacobi rotation must stay finite when the Gram off-diagonal is
+    denormal-tiny: the classical tau=(aqq-app)/(2 apq) form overflows
+    there, which the TPU's double-double f64 emulation turns into NaN
+    (observed on 4/19552 rest-state elements of the bar mesh).  The
+    overflow-free form keeps exactness on identity-like inputs."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sanm_tpu.ops.svd3 import svd_batched_small
+
+    rng = np.random.default_rng(7)
+    # identity + denormal-scale off-diagonal perturbations: apq ~ 1e-308
+    ms = np.broadcast_to(np.eye(3), (16, 3, 3)).copy()
+    pert = rng.standard_normal((16, 3, 3)) * 1e-308
+    ms += pert
+    u, s, vh = svd_batched_small(jnp.asarray(ms))
+    assert not np.isnan(np.asarray(u)).any()
+    assert not np.isnan(np.asarray(s)).any()
+    assert not np.isnan(np.asarray(vh)).any()
+    recon = np.einsum("bij,bj,bjk->bik", np.asarray(u), np.asarray(s),
+                      np.asarray(vh))
+    np.testing.assert_allclose(recon, ms, atol=1e-12)
