@@ -184,6 +184,18 @@ class _Kernels:
         dPdF = self._dpdf_blocks(vtx)
         if self.proj:
             d = np.asarray(dPdF)
+            if not np.isfinite(d).all():
+                # inverted elements (J <= 0) make log(J)/J^(-2/3) NaN;
+                # the reference baseline materials throw the same way
+                # (``baseline/neohookean_material.cpp:15-16,128-129``)
+                from ..utils import SANMNumericalError
+
+                raise SANMNumericalError(
+                    "non-finite element Hessian (J <= 0 in %s): the "
+                    "Newton baseline, like the reference's, cannot "
+                    "start from a configuration with inverted elements"
+                    % self.em
+                )
             d = 0.5 * (d + np.swapaxes(d, 1, 2))
             w, v = np.linalg.eigh(d)
             w = np.maximum(w, 0.0)

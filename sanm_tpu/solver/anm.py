@@ -578,13 +578,32 @@ class _ANMDriverBase:
             try:
                 self._expand_and_check()
             except SANMNumericalError:
-                if not getattr(self, "_last_fact_reused", False):
+                if getattr(self, "_last_fact_reused", False):
+                    # the stale-Jacobian expansion went numerically bad:
+                    # drop the cached factorization and redo this
+                    # restart with a fresh one
+                    self._fact = None
+                    self._expand_and_check()
+                elif (
+                    self._loop_mode() == "hybrid"
+                    and self._pass_dtype() == jnp.float32
+                    and getattr(self, "_f64_retry", True)
+                ):
+                    # mixed-precision expansion went non-finite or
+                    # failed its checks (rare, extreme-distortion ARAP
+                    # states): redo this one restart with f64 passes —
+                    # the same error-correction philosophy as the
+                    # reference's restarts (libsanm/anm.cpp:464-491)
+                    saved = self.hp.graph_dtype
+                    self.hp.graph_dtype = "f64"
+                    self._hyb = None
+                    try:
+                        self._expand_and_check()
+                    finally:
+                        self.hp.graph_dtype = saved
+                        self._hyb = None
+                else:
                     raise
-                # the stale-Jacobian expansion went numerically bad:
-                # drop the cached factorization and redo this restart
-                # with a fresh one
-                self._fact = None
-                self._expand_and_check()
         self._iter += 1
         if verbose_mode():
             print(
@@ -613,6 +632,10 @@ class _ANMDriverBase:
             )
         coeffs = np.asarray(coeffs)
         diag = np.asarray(diag)
+        if not np.isfinite(coeffs).all():
+            raise SANMNumericalError(
+                "non-finite expansion coefficients"
+            )
         if hp.sanity_check and diag.size:
             worst = float(diag.max())
             if not np.isfinite(worst) or worst > 1e-4:
