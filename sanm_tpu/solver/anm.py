@@ -155,10 +155,12 @@ class _ANMDriverBase:
     def _loop_mode(self):
         mode = self.hp.loop
         if mode == "auto":
-            if self._solver_mode() == "host_lu":
-                # host factorization without in-graph callbacks: the
-                # device computes graph passes, the host does the sparse
-                # direct solves between per-order jits
+            if self._solver_mode() in ("host_lu", "cg"):
+                # hybrid: the device computes graph passes; the solves
+                # run between the per-order jits (host sparse LU, or a
+                # separately-jitted device PCG — embedding the CG
+                # while_loop inside the order-20 scan program crashes
+                # this XLA/TPU toolchain's compiler)
                 mode = "hybrid"
             else:
                 mode = "scan" if self.hp.order >= 8 else "unroll"
@@ -320,26 +322,46 @@ class _ANMDriverBase:
             with ScopedProfiler("build_sparse_coeff", block=True):
                 carry, aux, data, gt_asm = prepare(xt0)
             with ScopedProfiler("sparse_prep"):
-                data_np = np.asarray(data)
-                A = sp.csr_matrix(
-                    (data_np, (asm.csr_rowidx, asm.csr_cols)), shape=(n, n)
-                )
-                # ordering: default COLAMD — measured 1.7 s vs 6.5 s
-                # for MMD_AT_PLUS_A on the armadillo stiffness (a 3D
-                # 27-point-stencil proxy suggested the opposite; the
-                # real tet adjacency favors COLAMD)
-                if pen:
-                    G = (A.T @ A).tocsc() + pen * sp.identity(
-                        n, format="csc"
+                if self._solver_mode() == "cg":
+                    # device-resident PCG, jitted standalone and called
+                    # between the per-order dispatches (the in-scan
+                    # variant crashes this toolchain's TPU compiler)
+                    from .linear import SparseCG
+
+                    cg = SparseCG(asm, data, l2_penalty=pen)
+                    cg_jit = jax.jit(cg.solve)
+                    solve = lambda b: np.asarray(cg_jit(jnp.asarray(b)))
+                    data_np = np.asarray(data)
+                    A = sp.csr_matrix(
+                        (data_np, (asm.csr_rowidx, asm.csr_cols)),
+                        shape=(n, n),
                     )
-                    lu = spla.splu(G)
-                    solve = lambda b: lu.solve(A.T @ b)
+                    gt_asm_np = (
+                        np.asarray(gt_asm) if self.is_implicit else None
+                    )
                 else:
-                    lu = spla.splu(A.tocsc())
-                    solve = lu.solve
-                gt_asm_np = (
-                    np.asarray(gt_asm) if self.is_implicit else None
-                )
+                    data_np = np.asarray(data)
+                    A = sp.csr_matrix(
+                        (data_np, (asm.csr_rowidx, asm.csr_cols)),
+                        shape=(n, n),
+                    )
+                    # ordering: default COLAMD — measured 1.7 s vs
+                    # 6.5 s for MMD_AT_PLUS_A on the armadillo
+                    # stiffness (a 3D 27-point-stencil proxy suggested
+                    # the opposite; the real tet adjacency favors
+                    # COLAMD)
+                    if pen:
+                        G = (A.T @ A).tocsc() + pen * sp.identity(
+                            n, format="csc"
+                        )
+                        lu = spla.splu(G)
+                        solve = lambda b: lu.solve(A.T @ b)
+                    else:
+                        lu = spla.splu(A.tocsc())
+                        solve = lu.solve
+                    gt_asm_np = (
+                        np.asarray(gt_asm) if self.is_implicit else None
+                    )
             self._fact = {
                 "x0": xt0_np[:n].copy(),
                 "A": A,
