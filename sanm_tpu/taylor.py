@@ -421,14 +421,21 @@ def batched_jacobian(fn: Callable, x0, out_inner_size: Optional[int] = None):
     in_inner = x0.shape[1:]
     idim = int(math.prod(in_inner)) if in_inner else 1
     B = x0.shape[0]
-    # linearize once (one primal pass), then vmap the linear map over
-    # the idim basis tangents broadcast across the batch
+    # linearize once (one primal pass), then push the idim basis
+    # tangents (broadcast across the batch) through the linear map
     _, lin = jax.linearize(fn, x0)
     eye = jnp.eye(idim, dtype=x0.dtype)
     tans = jnp.broadcast_to(
         eye.reshape((idim, 1) + in_inner), (idim, B) + in_inner
     )
-    cols = jax.vmap(lin)(tans)  # (idim, B, *out_inner)
+    if B * idim > 200_000:
+        # large batches: evaluate the tangents sequentially — vmapping
+        # all idim tangents materializes idim copies of the linearized
+        # graph's intermediates at once, which OOMs the 16 GB HBM for
+        # SVD-bearing graphs (ARAP at 42k tets needs 33 GB vmapped)
+        cols = jax.lax.map(lin, tans)  # (idim, B, *out_inner)
+    else:
+        cols = jax.vmap(lin)(tans)
     return jnp.moveaxis(cols.reshape(idim, B, -1), 0, 2)  # (B, odim, idim)
 
 
