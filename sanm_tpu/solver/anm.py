@@ -204,32 +204,20 @@ class _ANMDriverBase:
         mixed = tfn_pass is not self.tfn
         asm = self._assembler()
 
-        def prepare(xt0):
-            eng = self.tfn.engine()
+        def jac_asm(xt0):
+            """f64 Jacobian + CSR assembly, compiled SEPARATELY from the
+            engine-buffer initialization: the combined program made
+            XLA's rematerialization stack the pass-dtype history buffers
+            into one (n_buf, N+1, B, 3, 3) copy whose TPU tiling pads
+            the minor (3,3) dims 57x — 13.5 GB for the ARAP graph at
+            42k tets (measured OOM at 33 GB total)."""
             gin0 = self._shard(self.remap_inp.apply(self.prepare_inp(xt0)))
-            eng.start(gin0)
-            bias = eng.order_bias()  # k=1: creates rule userdata; zero
-            if bias is not None:
-                raise SANMError("order-1 bias must be structurally zero")
             jacf = lambda g: self.tfn(g)
             J = batched_jacobian(jacf, gin0)
-            asm = self._assembler()
             data, gt_asm = asm.assemble_csr(J)
-            if mixed:
-                # re-run order 0 in the pass dtype so every series
-                # coefficient lives in one consistent precision
-                eng_p = tfn_pass.engine()
-                eng_p.start(gin0.astype(pdt))
-                if eng_p.order_bias() is not None:
-                    raise SANMError("order-1 bias must be structurally zero")
-            else:
-                eng_p = eng
-            seng = ScanEngine(eng_p, order)
-            carry = seng.init_carry()
-            aux = seng.pack_aux()
             if gt_asm is None:
                 gt_asm = jnp.zeros((self.n,), xt0.dtype)
-            return carry, aux, data, gt_asm
+            return data, gt_asm
 
         def bias_fn(carry, aux, k):
             seng = ScanEngine.from_aux(tfn_pass, order, aux)
@@ -278,7 +266,7 @@ class _ANMDriverBase:
             return seng.init_carry(), seng.pack_aux()
 
         self._hyb = (
-            jax.jit(prepare),
+            jax.jit(jac_asm),
             jax.jit(bias_fn),
             jax.jit(commit_fn),
             # donate the carry (arg 0) and caches (arg 4): the history
@@ -297,7 +285,7 @@ class _ANMDriverBase:
 
         hp = self.hp
         n = self.n
-        prepare, bias_fn, commit_fn, step_fn, prepare_light = (
+        jac_asm, bias_fn, commit_fn, step_fn, prepare_light = (
             self._hybrid_fns()
         )
         asm = self._assembler()
@@ -320,7 +308,8 @@ class _ANMDriverBase:
             gt_asm_np = fact["gt_asm"]
         else:
             with ScopedProfiler("build_sparse_coeff", block=True):
-                carry, aux, data, gt_asm = prepare(xt0)
+                data, gt_asm = jac_asm(xt0)
+                carry, aux = prepare_light(xt0)
             with ScopedProfiler("sparse_prep"):
                 if self._solver_mode() == "cg":
                     # device-resident PCG, jitted standalone and called
