@@ -300,16 +300,6 @@ class _ANMDriverBase:
             * (float(np.linalg.norm(fact["x0"])) + 1e-30)
         )
         self._last_fact_reused = reuse
-        # series rescaling: high-order coefficients grow like
-        # |x1| / a_max^(k-1); with small validity ranges the f32 pass
-        # domain overflows (3.4e38) around order ~15.  Every Taylor
-        # recurrence is degree-homogeneous (x_k -> sigma^k x_k maps
-        # b_k -> sigma^k b_k), so the device can work with coefficients
-        # scaled to ~|x1| magnitude while the host keeps true units.
-        # sigma = the previous expansion's validated range is the right
-        # growth estimate; 1.0 (no scaling) before the first estimate.
-        sigma = float(np.clip(getattr(self, "_t_max_a", 0) or 1.0,
-                              1e-6, 1.0))
         if reuse:
             with ScopedProfiler("build_sparse_coeff", block=True):
                 carry, aux = prepare_light(xt0)
@@ -382,11 +372,11 @@ class _ANMDriverBase:
         # fused loop: one device dispatch (commit k + bias k+1) per order
         with ScopedProfiler("order_step", block=True):
             carry, b_dev, caches = step_fn(
-                carry, aux, 1, jnp.asarray(coeffs[1] * sigma), None
+                carry, aux, 1, jnp.asarray(coeffs[1]), None
             )
         for k in range(2, hp.order + 1):
             with ScopedProfiler("bias_pull"):
-                b = np.asarray(b_dev) / sigma**k
+                b = np.asarray(b_dev)
             with ScopedProfiler("sparse_solve"):
                 xb = solve(b)
             tk = (xb @ x1) / (t1 - xgt_dot_x1)
@@ -401,8 +391,7 @@ class _ANMDriverBase:
             if k < hp.order:
                 with ScopedProfiler("order_step", block=True):
                     carry, b_dev, caches = step_fn(
-                        carry, aux, k,
-                        jnp.asarray(coeffs[k] * sigma**k), caches,
+                        carry, aux, k, jnp.asarray(coeffs[k]), caches
                     )
         return coeffs, np.asarray(diag)
 
@@ -599,7 +588,7 @@ class _ANMDriverBase:
                 return
             try:
                 self._expand_and_check()
-            except SANMNumericalError as orig_err:
+            except SANMNumericalError:
                 if getattr(self, "_last_fact_reused", False):
                     # the stale-Jacobian expansion went numerically bad:
                     # drop the cached factorization and redo this
@@ -621,11 +610,6 @@ class _ANMDriverBase:
                     self._hyb = None
                     try:
                         self._expand_and_check()
-                    except Exception as retry_err:
-                        # the f64 program may not even fit this chip
-                        # (ARAP at 42k tets needs >16 GB): surface the
-                        # meaningful numerical error, not the OOM
-                        raise orig_err from retry_err
                     finally:
                         self.hp.graph_dtype = saved
                         self._hyb = None
