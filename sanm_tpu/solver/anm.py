@@ -85,8 +85,11 @@ class HyperParam:
     # batched Jacobian + assembly + host factorization).  The reference
     # has no analog: PARDISO refactorization is cheap on its 32-thread
     # host, while here a refactorization costs ~3 s of host+transfer
-    # time per restart at 42k tets.  0 disables reuse.
-    fact_reuse_rel_step: float = 1e-3
+    # time per restart at 42k tets.  0 (the default) disables reuse:
+    # on the benchmark meshes restarts move 10-25% of |x|, so the knob
+    # would silently change numerics without ever paying off — it is an
+    # opt-in for workloads with small per-restart motion.
+    fact_reuse_rel_step: float = 0.0
 
 
 @dataclass
@@ -173,10 +176,17 @@ class _ANMDriverBase:
     # the accelerator)
     # ------------------------------------------------------------------
     def _pass_dtype(self):
-        """Dtype of the order>=2 graph passes (hybrid mode)."""
+        """Dtype of the order>=2 graph passes (hybrid mode).  An explicit
+        ``_dtype_override`` (set by the per-restart f64 retry) wins over
+        both the env var and the hyperparam — otherwise a retry under
+        ``SANM_GRAPH_DTYPE=f32`` would rebuild identical f32 kernels."""
         import os
 
-        mode = os.environ.get("SANM_GRAPH_DTYPE") or self.hp.graph_dtype
+        mode = (
+            getattr(self, "_dtype_override", None)
+            or os.environ.get("SANM_GRAPH_DTYPE")
+            or self.hp.graph_dtype
+        )
         if mode == "auto":
             mode = "f64" if jax.default_backend() == "cpu" else "f32"
         if mode not in ("f32", "f64"):
@@ -184,13 +194,31 @@ class _ANMDriverBase:
         return jnp.float32 if mode == "f32" else jnp.float64
 
     def _pass_tfn(self, dtype):
-        """TaylorFn used for the high-order passes (f32 retrace cached)."""
+        """TaylorFn used for the high-order passes (f32 retrace cached).
+
+        The retrace keeps the ``sanm_svd_w`` precision island (the op,
+        its upstream chain, and cancellation-prone add/sub consumers)
+        at f64 inside the f32 pass — without it, the svd Taylor
+        recurrences amplify f32 noise through their clip_div divisions
+        and ARAP continuation stalls near-degenerate meshes at a ~1e-3
+        force-RMS floor.  ``SANM_SVDW_F64=0`` disables the island (A/B
+        knob)."""
+        import os
+
         if dtype == jnp.float64:
             return self.tfn
         if getattr(self, "_tfn32", None) is None:
+            from ..ops.svd_w import svd_w_p
             from ..taylor import cast_taylor_fn
 
-            self._tfn32 = cast_taylor_fn(self.tfn, dtype)
+            promote = (
+                ()
+                if os.environ.get("SANM_SVDW_F64") == "0"
+                else (svd_w_p,)
+            )
+            self._tfn32 = cast_taylor_fn(
+                self.tfn, dtype, promote_prims=promote
+            )
         return self._tfn32
 
     def _hybrid_fns(self):
@@ -203,6 +231,10 @@ class _ANMDriverBase:
         tfn_pass = self._pass_tfn(pdt)
         mixed = tfn_pass is not self.tfn
         asm = self._assembler()
+        # graph-input dtype: f64 when the input feeds an f64 precision
+        # island (svd_w upstream), else the pass dtype — the island's
+        # input series must be exact, so the remap gather runs at f64
+        in_dt = tfn_pass.jaxpr.invars[0].aval.dtype
 
         def jac_asm(xt0):
             """f64 Jacobian + CSR assembly, compiled SEPARATELY from the
@@ -226,13 +258,13 @@ class _ANMDriverBase:
                 oav = tfn_pass.jaxpr.outvars[0].aval
                 b_out = jnp.zeros(oav.shape, oav.dtype)
             return (
-                asm.apply_out(b_out, pdt).astype(jnp.float64),
+                asm.apply_out(b_out).astype(jnp.float64),
                 caches,
             )
 
         def commit_fn(carry, aux, k, xt_k, caches):
             seng = ScanEngine.from_aux(tfn_pass, order, aux)
-            gin = asm.apply_in(xt_k, pdt)
+            gin = asm.apply_in(xt_k, in_dt)
             return seng.push(carry, k, gin, caches)
 
         def step_fn(carry, aux, k, xt_k, caches):
@@ -242,7 +274,7 @@ class _ANMDriverBase:
             form of ``LinearRemap.apply`` on the wide force-output remap
             measured 109 ms/order at 42k tets (TPU gathers are scalar)."""
             seng = ScanEngine.from_aux(tfn_pass, order, aux)
-            gin = asm.apply_in(xt_k, pdt)
+            gin = asm.apply_in(xt_k, in_dt)
             carry = seng.push(carry, k, gin, caches)
             b_out, caches2 = seng.order_bias(carry, k + 1)
             if b_out is None:
@@ -250,7 +282,7 @@ class _ANMDriverBase:
                 b_out = jnp.zeros(oav.shape, oav.dtype)
             return (
                 carry,
-                asm.apply_out(b_out, pdt).astype(jnp.float64),
+                asm.apply_out(b_out).astype(jnp.float64),
                 caches2,
             )
 
@@ -259,7 +291,7 @@ class _ANMDriverBase:
             factorization of a previous restart is reused."""
             gin0 = self._shard(self.remap_inp.apply(self.prepare_inp(xt0)))
             eng_p = tfn_pass.engine()
-            eng_p.start(gin0.astype(pdt) if mixed else gin0)
+            eng_p.start(gin0.astype(in_dt) if mixed else gin0)
             if eng_p.order_bias() is not None:
                 raise SANMError("order-1 bias must be structurally zero")
             seng = ScanEngine(eng_p, order)
@@ -292,10 +324,16 @@ class _ANMDriverBase:
         xt0 = jnp.asarray(xt0_np)
         pen = hp.xcoeff_l2_penalty
         fact = getattr(self, "_fact", None)
+        # the reuse distance covers the FULL start point including the t
+        # entry: for ANMImplicitSolver the assembled A and grad_t depend
+        # on t (the boundary displacement scales with t), so a restart
+        # where the free vertices barely move but t advances would
+        # otherwise reuse a materially stale factorization
+        ncmp = n + 1 if self.is_implicit else n
         reuse = (
             fact is not None
             and hp.fact_reuse_rel_step > 0
-            and float(np.linalg.norm(xt0_np[:n] - fact["x0"]))
+            and float(np.linalg.norm(xt0_np[:ncmp] - fact["x0"]))
             <= hp.fact_reuse_rel_step
             * (float(np.linalg.norm(fact["x0"])) + 1e-30)
         )
@@ -352,7 +390,7 @@ class _ANMDriverBase:
                         np.asarray(gt_asm) if self.is_implicit else None
                     )
             self._fact = {
-                "x0": xt0_np[:n].copy(),
+                "x0": xt0_np[:ncmp].copy(),
                 "A": A,
                 "solve": solve,
                 "gt_asm": gt_asm_np,
@@ -605,13 +643,12 @@ class _ANMDriverBase:
                     # states): redo this one restart with f64 passes —
                     # the same error-correction philosophy as the
                     # reference's restarts (libsanm/anm.cpp:464-491)
-                    saved = self.hp.graph_dtype
-                    self.hp.graph_dtype = "f64"
+                    self._dtype_override = "f64"
                     self._hyb = None
                     try:
                         self._expand_and_check()
                     finally:
-                        self.hp.graph_dtype = saved
+                        self._dtype_override = None
                         self._hyb = None
                 else:
                     raise

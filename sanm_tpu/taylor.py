@@ -340,7 +340,88 @@ class TaylorEngine:
         return outs[0] if len(outs) == 1 else tuple(outs)
 
 
-def cast_taylor_fn(tfn: TaylorFn, dtype) -> TaylorFn:
+def promote_island(tfn: TaylorFn, promote_prims):
+    """Precision-island analysis for :func:`cast_taylor_fn`.
+
+    Returns ``(island_eqns, island_vars)``: the eqn indices and vars
+    that must stay float64 inside an otherwise-``dtype`` pass so that a
+    numerically sensitive primitive (e.g. ``sanm_svd_w``, whose order-k
+    recurrences divide by near-degenerate singular-value gaps,
+    reference ``libsanm/tensor_svd.cpp:275-475`` + ``clip_div`` guard
+    ``:28-31``) sees exact inputs and keeps exact internal series.
+
+    The island is the seed eqns, their full transitive *upstream*
+    closure (so the primitive's input series carries no low-precision
+    rounding), plus the *downstream* closure through add/sub/neg chains
+    whose var operands are all island — those are the
+    cancellation-prone consumers (ARAP's ``P = mu (F - W)`` subtracts
+    two nearly equal f64 tensors; rounding them to f32 first loses the
+    difference)."""
+    from jax import lax as _lx
+
+    island_eqns: set = set()
+    island_vars: set = set()
+    if not promote_prims:
+        return island_eqns, island_vars
+    promote_prims = set(promote_prims)
+    eqn_of = {idx: eqn for idx, eqn, _ in tfn.live_eqns}
+    producer = {}
+    for idx, eqn, _ in tfn.live_eqns:
+        for v in eqn.outvars:
+            if not isinstance(v, jcore.DropVar):
+                producer[v] = idx
+
+    # upstream closure from the seed primitives
+    stack = [
+        idx for idx, eqn, _ in tfn.live_eqns
+        if eqn.primitive in promote_prims
+    ]
+    while stack:
+        idx = stack.pop()
+        if idx in island_eqns:
+            continue
+        island_eqns.add(idx)
+        for v in eqn_of[idx].invars:
+            if isinstance(v, jcore.Literal) or v in island_vars:
+                continue
+            island_vars.add(v)
+            if v in producer:
+                stack.append(producer[v])
+    for idx in island_eqns:
+        for v in eqn_of[idx].outvars:
+            if not isinstance(v, jcore.DropVar):
+                island_vars.add(v)
+
+    # downstream closure through cancellation-prone elementwise chains:
+    # extend when at least one var operand is island and every other var
+    # operand is island or a closed-over constant (consts and literals
+    # are upcast at read)
+    ext_prims = (_lx.add_p, _lx.sub_p, _lx.neg_p)
+    constvars = set(tfn.jaxpr.constvars)
+    changed = True
+    while changed:
+        changed = False
+        for idx, eqn, _ in tfn.live_eqns:
+            if idx in island_eqns or eqn.primitive not in ext_prims:
+                continue
+            operand_vars = [
+                v for v in eqn.invars if not isinstance(v, jcore.Literal)
+            ]
+            if not any(v in island_vars for v in operand_vars):
+                continue
+            if not all(
+                v in island_vars or v in constvars for v in operand_vars
+            ):
+                continue
+            island_eqns.add(idx)
+            for v in eqn.outvars:
+                if not isinstance(v, jcore.DropVar):
+                    island_vars.add(v)
+            changed = True
+    return island_eqns, island_vars
+
+
+def cast_taylor_fn(tfn: TaylorFn, dtype, promote_prims=()) -> TaylorFn:
     """Retrace ``tfn`` with every floating value (inputs, closed-over
     constants, literals) cast to ``dtype``.
 
@@ -349,50 +430,70 @@ def cast_taylor_fn(tfn: TaylorFn, dtype) -> TaylorFn:
     Jacobian, factorization, and residual evaluations stay f64 — the
     ANM error-correcting restarts absorb the bounded coefficient noise
     (reference runs all-f64 on CPU where it is native,
-    ``libsanm/typedefs.h:12``)."""
+    ``libsanm/typedefs.h:12``).
+
+    ``promote_prims``: primitives whose eqns — plus their transitive
+    upstream chain and cancellation-prone add/sub consumers — are kept
+    at float64 inside the ``dtype`` pass (see :func:`promote_island`).
+    The retraced jaxpr then carries mixed f32/f64 avals with explicit
+    converts at the island boundary, and every engine (plain, scan)
+    inherits per-buffer dtypes from the avals with no further changes.
+    Used to run the ``sanm_svd_w`` Taylor recurrences in f64 inside the
+    f32 pass: their ``clip_div`` divisions amplify input noise by the
+    inverse singular-value gaps, which stalls ARAP continuation on
+    meshes with near-degenerate element spectra (measured: force-RMS
+    floor ~1e-3 on armadillo-small/human at f32, restarts bounce
+    without contracting)."""
     import numpy as np
 
     dtype = jnp.dtype(dtype)
     f64 = jnp.dtype(jnp.float64)
     jaxpr = tfn.jaxpr
+    island_eqns, island_vars = promote_island(tfn, promote_prims)
 
-    def _cast(x):
+    def _cast_to(x, want):
         x = jnp.asarray(x)
-        if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != dtype:
-            return x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != want:
+            return x.astype(want)
         return x
 
     def fn(*xs):
         env = {}
         for v, c in zip(jaxpr.constvars, tfn.consts):
-            env[v] = _cast(c)
+            env[v] = jnp.asarray(c)  # cast per-read (island reads want f64)
         for v, x in zip(jaxpr.invars, xs):
             env[v] = x
 
-        def read(v):
-            if isinstance(v, jcore.Literal):
-                return _cast(v.val)
-            return env[v]
+        def read(v, hi):
+            val = (
+                jnp.asarray(v.val) if isinstance(v, jcore.Literal) else env[v]
+            )
+            return _cast_to(val, f64 if hi else dtype)
 
         for idx, eqn, outs_used in tfn.live_eqns:
-            invals = [read(v) for v in eqn.invars]
+            hi = idx in island_eqns
+            invals = [read(v, hi) for v in eqn.invars]
             params = dict(eqn.params)
-            for key in ("new_dtype", "dtype", "preferred_element_type"):
-                if key in params and params[key] == f64:
-                    params[key] = dtype
+            if not hi:
+                for key in ("new_dtype", "dtype", "preferred_element_type"):
+                    if key in params and params[key] == f64:
+                        params[key] = dtype
             outs = eqn.primitive.bind(*invals, **params)
             if not eqn.primitive.multiple_results:
                 outs = [outs]
             for v, o in zip(eqn.outvars, outs):
                 if not isinstance(v, jcore.DropVar):
                     env[v] = o
-        outs = [read(v) for v in jaxpr.outvars]
+        outs = [
+            read(v, hi=(not isinstance(v, jcore.Literal)) and v in island_vars)
+            for v in jaxpr.outvars
+        ]
         return outs[0] if len(outs) == 1 else tuple(outs)
 
     example = [
         jax.ShapeDtypeStruct(
             v.aval.shape,
-            dtype
+            (f64 if v in island_vars else dtype)
             if jnp.issubdtype(v.aval.dtype, jnp.floating)
             else v.aval.dtype,
         )

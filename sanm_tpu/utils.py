@@ -193,6 +193,22 @@ class ScopedProfiler:
         return node.tot
 
     @classmethod
+    def total(cls, name) -> float:
+        """Sum of ``tot`` over EVERY node named ``name`` anywhere in the
+        tree (unlike :meth:`get`, which stops at the first match).  Used
+        to measure per-phase deltas, e.g. the warm-solve sparse share."""
+        acc = [0.0]
+
+        def walk(n):
+            for c in n.children.values():
+                if c.name == name:
+                    acc[0] += c.tot
+                walk(c)
+
+        walk(cls._root)
+        return acc[0]
+
+    @classmethod
     def reset(cls):
         with cls._lock:
             cls._root = _ProfNode("<root>")

@@ -48,22 +48,34 @@ _PROF_LINE = re.compile(
 )
 
 
-def sparse_share(cell_dir):
-    """(sparse_prep + sparse_solve) / solve_expansion_coeffs wall time,
-    parsed from the cell log's ScopedProfiler report (counterpart of
-    the reference's profiler-log parsing,
-    ``render/gen_table_figs.py:328-339``).  Aggregates over the whole
-    process (cold + warm solves)."""
+def sparse_share(cell_dir, stat=None):
+    """Share of the WARM solve spent in the sparse solver — the
+    reference's statistic over its ``time_solve`` denominator
+    (``render/gen_table_figs.py:328-339``).
+
+    Preferred source: the ``sparse_share_warm`` stat key (measured
+    exactly around the warm re-solve).  Fallback for older cells: the
+    log's ScopedProfiler totals cover cold+warm; the sparse scopes are
+    pure host work with no compilation, so the warm half is estimated
+    as total/2 and divided by ``time_solve_warm``."""
+    if stat is not None and "sparse_share_warm" in stat:
+        return stat["sparse_share_warm"]
     log = os.path.join(cell_dir, "log.txt")
     if not os.path.exists(log):
         return None
     tot = {}
     for _, name, secs in _PROF_LINE.findall(open(log).read()):
         tot[name] = tot.get(name, 0.0) + float(secs)
+    sparse = tot.get("sparse_prep", 0.0) + tot.get("sparse_solve", 0.0)
+    if not sparse:
+        return None
+    warm = (stat or {}).get("time_solve_warm")
+    if warm:
+        return (sparse / 2.0) / warm
     solve = tot.get("solve_expansion_coeffs")
     if not solve:
         return None
-    return (tot.get("sparse_prep", 0.0) + tot.get("sparse_solve", 0.0)) / solve
+    return sparse / solve
 
 
 def cell_time(stat):
@@ -192,12 +204,12 @@ def main():
     for name in sorted(cells):
         if "-sanm-" not in name:
             continue
-        sh = sparse_share(os.path.join(root, name))
+        sh = sparse_share(os.path.join(root, name), cells[name])
         if sh is not None:
             shares.append(sh)
     if shares:
         mean = sum(shares) / len(shares)
-        print(f"\nsparse-solver share of solve time: {mean:.1%} mean "
+        print(f"\nsparse-solver share of WARM solve time: {mean:.1%} mean "
               f"({len(shares)} sanm cells)")
 
 

@@ -125,6 +125,7 @@ class TestGeneralSolve:
 
 
 class TestPolarDecompSolve:
+    @pytest.mark.slow
     @pytest.mark.parametrize("rot", [False, True])
     def test_simple(self, rot):
         # reference Symbolic.PolarDecompSolve (tests/symbolic.cpp:677-728).
@@ -143,6 +144,7 @@ class TestPolarDecompSolve:
         xt = anm_general_solve(f, x0, ysol, maxiter=60)
         require_tensor_eq(xt, xsol, 1e-3, msg="polar solve")
 
+    @pytest.mark.slow
     def test_eq_singular_x0(self):
         batch, n = 7, 3
         x0 = tensor_rng((batch, n, n), seed=102)

@@ -72,6 +72,7 @@ class TestANO:
         run_minimize(amin, maxiter=100, grad_norm=1e-5)
         assert np.allclose(amin.get_x(), c, atol=1e-3)
 
+    @pytest.mark.slow
     def test_arap_potential_minimization(self):
         # ANO through the SVD-W primitive: minimize the ARAP energy of a
         # single perturbed tet frame; reverse-mode grad goes through the

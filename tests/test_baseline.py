@@ -5,6 +5,8 @@ agree on the equilibrium of the same problem."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from sanm_tpu.fea import (
     DeformableBody,
     EnergyModel,

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from sanm_tpu.fea import (
     DeformableBody,
     EnergyModel,

@@ -56,6 +56,7 @@ def test_cast_taylor_fn_f32():
 @pytest.mark.parametrize(
     "em", [EnergyModel.NEOHOOKEAN_C, EnergyModel.ARAP]
 )
+@pytest.mark.slow
 def test_hybrid_f32_converges(em):
     """f32 high-order passes (incl. the SVD-W scan rule for ARAP) reach
     the same 1e-10 residual target; iteration count stays comparable."""

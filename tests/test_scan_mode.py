@@ -33,6 +33,7 @@ def _problem():
     "em",
     [EnergyModel.NEOHOOKEAN_C, EnergyModel.NEOHOOKEAN_I, EnergyModel.ARAP],
 )
+@pytest.mark.slow
 def test_scan_matches_unroll(em):
     body, f = _problem()
     sols = {}

@@ -103,6 +103,7 @@ class TestAssembler:
         )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["host_lu", "cg"])
 def test_solver_backends_match_dense(mode):
     body, f_load = make_problem()
@@ -148,6 +149,7 @@ def test_implicit_solver_host_lu():
     )
 
 
+@pytest.mark.slow
 def test_factorization_reuse_across_restarts():
     """Stale-Jacobian restarts (hybrid mode): when the continuation
     point barely moves between error-correcting restarts, the hybrid

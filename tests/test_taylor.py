@@ -199,6 +199,7 @@ class TestLinalg:
             batched_inv, _zeros_tail(xarr, 5), [0.02, -0.02]
         )
 
+    @pytest.mark.slow
     def test_log_det_composite(self):
         # port of Symbolic.LogDetTaylorProp (tests/symbolic.cpp:640-656)
         # y = log(det(x^T x)) for (B, 3, 3)
@@ -224,6 +225,7 @@ class TestLinalg:
 
 
 class TestSvdW:
+    @pytest.mark.slow
     @pytest.mark.parametrize("rot", [False, True])
     def test_polar_decomp_prop(self, rot):
         # port of Symbolic.PolarDecompTaylorProp (tests/symbolic.cpp:658-676)
@@ -241,6 +243,7 @@ class TestSvdW:
             eps_eval=1e-3,
         )
 
+    @pytest.mark.slow
     def test_pw_mode_matches_full_mode(self):
         # polar_w leaves u,s unused -> pw mode; using all outputs -> full
         # mode.  The W series must agree (reference pw_mode switch,
@@ -486,3 +489,27 @@ def test_svd3_no_overflow_near_orthogonal():
     recon = np.einsum("bij,bj,bjk->bik", np.asarray(u), np.asarray(s),
                       np.asarray(vh))
     np.testing.assert_allclose(recon, ms, atol=1e-12)
+
+    # regime |d| >> |apq| with denormal apq: well-separated column norms
+    # plus 1e-300 off-diagonal coupling.  Here the CLASSICAL tau =
+    # (aqq-app)/(2*apq) truly overflows (checked below), which the TPU
+    # f64 emulation turns into NaN; the overflow-free form stays exact.
+    ms2 = np.broadcast_to(np.diag([2.0, 1.0, 0.5]), (4, 3, 3)).copy()
+    ms2 += rng.standard_normal((4, 3, 3)) * 1e-312
+    # demonstrate the test hits the overflow regime of the old formula
+    a = ms2[0]
+    app, aqq = (a[:, 0] ** 2).sum(), (a[:, 1] ** 2).sum()
+    apq = (a[:, 0] * a[:, 1]).sum()
+    with np.errstate(over="ignore", divide="ignore"):
+        assert np.isinf((aqq - app) / (2.0 * apq))
+    u2, s2, vh2 = svd_batched_small(jnp.asarray(ms2))
+    for arr in (u2, s2, vh2):
+        assert np.isfinite(np.asarray(arr)).all()
+    np.testing.assert_allclose(
+        np.asarray(s2), np.broadcast_to([2.0, 1.0, 0.5], (4, 3)),
+        rtol=1e-14,
+    )
+    recon2 = np.einsum(
+        "bij,bj,bjk->bik", np.asarray(u2), np.asarray(s2), np.asarray(vh2)
+    )
+    np.testing.assert_allclose(recon2, ms2, atol=1e-12)
