@@ -297,6 +297,7 @@ def run_and_save(
     jstat["order"] = hp.order
     jstat["name"] = name
     jstat["pade"] = hp.use_pade
+    jstat["pade_log"] = getattr(solver, "pade_log", [])
     # device count stands in for the reference's thread counts
     # (fea/main.cpp:428-429); SPMD replaces intra-process threading
     import jax
@@ -501,6 +502,7 @@ def run_with_vtx_delta(
     jstat["time"] = timer.time()
     _total_solve_time[0] += jstat["time"]
     jstat["pade"] = hp.use_pade
+    jstat["pade_log"] = getattr(solver, "pade_log", [])
     return jstat
 
 

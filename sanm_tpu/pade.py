@@ -38,11 +38,13 @@ class PadeApproximation:
         self.xs = xs
         self.ok = False
         self._d = None
+        self.reject_reason = None  # diagnostics for the Pade-benefit study
         n = xs.shape[0] - 1
         dim = xs.shape[1]
         # rejection rules mirror pade.cpp:18: need enough dimensions and
         # a high-enough order for the rational form to be meaningful
         if dim < 2 * (n + 1) or n + 1 <= 4:
+            self.reject_reason = "dim/order rule"
             return
 
         # Gram-Schmidt orthonormalization of xs[1..n]
@@ -56,6 +58,7 @@ class PadeApproximation:
                 if anm_cond and j == 1:
                     # exact ANM orthogonality: x_i . x_1 = 0 for i >= 2
                     if abs(aij) >= 1e-4:
+                        self.reject_reason = "anm orthogonality %g" % aij
                         return  # not an ANM series; refuse
                     a[i, j] = 0.0
                 else:
@@ -63,6 +66,7 @@ class PadeApproximation:
                     u -= aij * orth[j - 1]
             norm = float(np.linalg.norm(u))
             if norm == 0.0:
+                self.reject_reason = "zero-norm coefficient"
                 return
             a[i, i] = norm
             u = u / max(norm, eps)
@@ -113,6 +117,7 @@ class PadeApproximation:
             return False
         rts = polynomial.roots(self._d, only_real=True)
         if rts is None:
+            self.reject_reason = "denominator roots failed"
             return False
         pole = 0.0
         for r in rts:
@@ -121,6 +126,7 @@ class PadeApproximation:
         if pole == 0.0:
             pole = start * 4
         if pole <= start:
+            self.reject_reason = "pole %g <= start %g" % (pole, start)
             return False
 
         eps2 = eps * eps
@@ -137,6 +143,7 @@ class PadeApproximation:
         left = start * 1.001
         right = start + (pole - start) * 0.99
         if not check(left):
+            self.reject_reason = "order-n/(n-1) disagree at start*1.001"
             return False
         if limit and right > limit:
             right = limit

@@ -158,7 +158,7 @@ class _ANMDriverBase:
     def _loop_mode(self):
         mode = self.hp.loop
         if mode == "auto":
-            if self._solver_mode() in ("host_lu", "cg"):
+            if self._solver_mode() in ("host_lu", "cg", "dense_chol"):
                 # hybrid: the device computes graph passes; the solves
                 # run between the per-order jits (host sparse LU, or a
                 # separately-jitted device PCG — embedding the CG
@@ -310,6 +310,163 @@ class _ANMDriverBase:
         )
         return self._hyb
 
+    # ------------------------------------------------------------------
+    # dense_chol: fully device-resident order loop.  The reference's
+    # factorize-once / N-backsolves (libsanm/sparse_solver.cpp:154-180)
+    # runs ENTIRELY on the accelerator: dense f32 Cholesky + f64
+    # refinement (solver/linear.py chol_refine_solve), with the solve,
+    # the ANM scalar recurrence, the coefficient matrix, and the
+    # commit+bias pass fused into one jitted dispatch per order — no
+    # per-order device->host crossing (the host_lu path pays a ~37 ms
+    # pull + 1-core backsolve per order).
+    # ------------------------------------------------------------------
+    def _devloop_fns(self, refine_steps: int = 8):
+        if getattr(self, "_devfns", None) is not None:
+            return self._devfns
+        from ..taylor_scan import ScanEngine
+        from .linear import chol_refine_solve
+
+        asm = self._assembler()
+        order = self.hp.order
+        pdt = self._pass_dtype()
+        tfn_pass = self._pass_tfn(pdt)
+        in_dt = tfn_pass.jaxpr.invars[0].aval.dtype
+        n = self.n
+        sanity = self.hp.sanity_check and not self.hp.xcoeff_l2_penalty
+
+        def factor(data):
+            A = asm.assemble_dense_from_csr(data.astype(jnp.float32))
+            A = 0.5 * (A + A.T)
+            d = jnp.abs(jnp.diagonal(A))
+            s = jax.lax.rsqrt(jnp.where(d > 0, d, 1.0))
+            As = A * s[:, None] * s[None, :]
+            # elastic force Jacobian is negative definite at stable
+            # states (A = -K): factor -As; a NaN diagonal flags an
+            # indefinite state and the caller falls back to host LU
+            L = jnp.linalg.cholesky(-As)
+            ok = jnp.isfinite(jnp.diagonal(L)).all()
+            return L, s, ok
+
+        def order1(L, s, data, grad_t, xt0):
+            xgt = chol_refine_solve(
+                L, s, data, grad_t, asm.matvec, refine_steps
+            )
+            t1 = 1.0 / jnp.sqrt(jnp.vdot(xgt, xgt) + 1.0)
+            x1 = -t1 * xgt
+            denom = t1 - jnp.vdot(x1, xgt)
+            xt1 = jnp.concatenate([x1, t1[None]])
+            XT = jnp.zeros((order + 1, n + 1), jnp.float64)
+            XT = XT.at[0].set(xt0).at[1].set(xt1)
+            return xgt, x1, denom, xt1, XT
+
+        def solve_rec(L, s, data, b, xgt, x1, denom, grad_t, k, XT, diag):
+            """Backsolve + ANM scalar recurrence at order k (device)."""
+            xb = chol_refine_solve(
+                L, s, data, b, asm.matvec, refine_steps
+            )
+            tk = jnp.vdot(xb, x1) / denom
+            xk = -tk * xgt - xb
+            xt_k = jnp.concatenate([xk, tk[None]])
+            XT = XT.at[k].set(xt_k)
+            if sanity:
+                resid = asm.matvec(data, xk) + grad_t * tk + b
+                scale = jnp.maximum(
+                    jnp.linalg.norm(grad_t * tk + b), 1e-30
+                )
+                diag = diag.at[k].set(jnp.linalg.norm(resid) / scale)
+            return xt_k, XT, diag
+
+        def fused(L, s, data, carry, aux, k, b, caches, xgt, x1, denom,
+                  grad_t, XT, diag):
+            """solve(k) + commit(k) + bias(k+1): one dispatch per order."""
+            xt_k, XT, diag = solve_rec(
+                L, s, data, b, xgt, x1, denom, grad_t, k, XT, diag
+            )
+            seng = ScanEngine.from_aux(tfn_pass, order, aux)
+            gin = asm.apply_in(xt_k, in_dt)
+            carry = seng.push(carry, k, gin, caches)
+            b2, caches2 = seng.order_bias(carry, k + 1)
+            if b2 is None:
+                oav = tfn_pass.jaxpr.outvars[0].aval
+                b2 = jnp.zeros(oav.shape, oav.dtype)
+            b2 = asm.apply_out(b2).astype(jnp.float64)
+            return carry, caches2, b2, XT, diag
+
+        def last(L, s, data, b, xgt, x1, denom, grad_t, XT, diag):
+            _, XT, diag = solve_rec(
+                L, s, data, b, xgt, x1, denom, grad_t, order, XT, diag
+            )
+            return XT, diag
+
+        self._devfns = (
+            jax.jit(factor),
+            jax.jit(order1),
+            jax.jit(fused, donate_argnums=(3, 7, 12, 13)),
+            jax.jit(last, donate_argnums=(8, 9)),
+        )
+        return self._devfns
+
+    def _expand_hybrid_devloop(self, xt0_np, v_np):
+        """dense_chol expansion; returns None when the current state's
+        stiffness is indefinite (caller falls back to host LU)."""
+        hp = self.hp
+        n = self.n
+        jac_asm, bias_fn, commit_fn, step_fn, prepare_light = (
+            self._hybrid_fns()
+        )
+        factor, order1, fused, last = self._devloop_fns()
+        xt0 = jnp.asarray(xt0_np)
+        ncmp = n + 1 if self.is_implicit else n
+        fact = getattr(self, "_fact_dev", None)
+        reuse = (
+            fact is not None
+            and hp.fact_reuse_rel_step > 0
+            and float(np.linalg.norm(xt0_np[:ncmp] - fact["x0"]))
+            <= hp.fact_reuse_rel_step
+            * (float(np.linalg.norm(fact["x0"])) + 1e-30)
+        )
+        self._last_fact_reused = reuse
+        if reuse:
+            with ScopedProfiler("build_sparse_coeff", block=True):
+                carry, aux = prepare_light(xt0)
+            L, s, data, grad_t = (
+                fact["L"], fact["s"], fact["data"], fact["gt"]
+            )
+        else:
+            with ScopedProfiler("build_sparse_coeff", block=True):
+                data, gt_asm = jac_asm(xt0)
+                carry, aux = prepare_light(xt0)
+            with ScopedProfiler("sparse_prep", block=True):
+                L, s, ok = factor(data)
+                if not bool(ok):
+                    return None
+            grad_t = (
+                gt_asm if self.is_implicit else jnp.asarray(v_np)
+            )
+            self._fact_dev = {
+                "x0": xt0_np[:ncmp].copy(),
+                "L": L, "s": s, "data": data, "gt": grad_t,
+            }
+        with ScopedProfiler("sparse_solve", block=True):
+            xgt, x1, denom, xt1, XT = order1(L, s, data, grad_t, xt0)
+        diag = jnp.zeros((hp.order + 1,), jnp.float64)
+        with ScopedProfiler("order_step", block=True):
+            carry, b_dev, caches = step_fn(carry, aux, 1, xt1, None)
+        for k in range(2, hp.order):
+            with ScopedProfiler("order_step_dev"):
+                carry, caches, b_dev, XT, diag = fused(
+                    L, s, data, carry, aux, jnp.asarray(k), b_dev,
+                    caches, xgt, x1, denom, grad_t, XT, diag,
+                )
+        with ScopedProfiler("sparse_solve", block=True):
+            XT, diag = last(
+                L, s, data, b_dev, xgt, x1, denom, grad_t, XT, diag
+            )
+        coeffs = np.asarray(XT)
+        sanity = hp.sanity_check and not hp.xcoeff_l2_penalty
+        dg = np.asarray(diag)[2:] if sanity else np.zeros((0,))
+        return coeffs, dg
+
     def _expand_hybrid(self, xt0_np, v_np):
         """Full expansion with host-side sparse direct solves."""
         import scipy.sparse as sp
@@ -317,6 +474,12 @@ class _ANMDriverBase:
 
         hp = self.hp
         n = self.n
+        if self._solver_mode() == "dense_chol" and not hp.xcoeff_l2_penalty:
+            out = self._expand_hybrid_devloop(xt0_np, v_np)
+            if out is not None:
+                return out
+            if verbose_mode():
+                print("dense_chol: indefinite stiffness; host-LU fallback")
         jac_asm, bias_fn, commit_fn, step_fn, prepare_light = (
             self._hybrid_fns()
         )
@@ -590,6 +753,10 @@ class _ANMDriverBase:
             from .linear import SparseCG
 
             return SparseCG(asm, data, l2_penalty=pen)
+        if mode == "dense_chol":
+            from .linear import DeviceCholSolver
+
+            return DeviceCholSolver(asm, data, l2_penalty=pen)
         raise SANMError(f"unknown solver mode {mode}")
 
     # -- host control -----------------------------------------------------
@@ -749,6 +916,31 @@ class _ANMDriverBase:
                 self._pade = pade
                 self._t_max_a = pade.t_max_a
                 self._t_max = pade.t_max
+            self._log_pade(a_bound, ok, pade)
+        elif use_pade:
+            self._log_pade(a_bound, False, None)
+
+    def _log_pade(self, a_bound, accepted, pade):
+        """Per-restart Pade acceptance record (the reference measures
+        the aggregate 'Pade benefit' as iterations saved,
+        ``render/gen_table_figs.py:341-359``; this logs WHY each step's
+        extension was accepted or rejected and by how much it gained)."""
+        rec = {
+            "iter": self._iter + 1,
+            "a_series": float(a_bound),
+            "accepted": bool(accepted),
+        }
+        if accepted:
+            rec["a_pade"] = float(pade.t_max_a)
+            rec["gain"] = float(pade.t_max_a / a_bound)
+        elif pade is not None:
+            rec["reject"] = pade.reject_reason or "range estimation"
+        else:
+            rec["reject"] = "series bound hit stable_x_range"
+        self.pade_log = getattr(self, "pade_log", [])
+        self.pade_log.append(rec)
+        if verbose_mode():
+            print("pade:", rec)
 
     # -- public API (reference ANMDriverHelper public section) -------------
     def get_t_upper(self):

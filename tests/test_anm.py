@@ -103,9 +103,12 @@ class TestGeneralSolve:
 
         xsol = tensor_rng((10, 8, 3), 0.8, 1.5)
         xinit = xsol * tensor_rng(xsol.shape, 0.8, 1.2)
+        # NOTE the reference evaluates ysol BEFORE the xsol[2] mutation
+        # (C++ init-list order, tests/symbolic.cpp:613-617): only the
+        # START point sits at the zero-gradient log(1)=0
+        ysol = np.asarray(f(jnp.asarray(xsol)))
         xsol.reshape(-1)[2] = 1.3
         xinit.reshape(-1)[2] = 1.0  # log -> 0: zero grad of integer pow
-        ysol = np.asarray(f(jnp.asarray(xsol)))
         xt = anm_general_solve(f, xinit, ysol)
         require_tensor_eq(
             np.asarray(f(jnp.asarray(xt))), ysol, 1e-4, msg="pow-zg"

@@ -104,7 +104,7 @@ class TestAssembler:
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mode", ["host_lu", "cg"])
+@pytest.mark.parametrize("mode", ["host_lu", "cg", "dense_chol"])
 def test_solver_backends_match_dense(mode):
     body, f_load = make_problem()
     em = EnergyModel.NEOHOOKEAN_C
