@@ -200,16 +200,34 @@ ad.primitive_jvps[svd_w_p] = _svd_w_jvp
 # ----------------------------------------------------------------------------
 
 
+def _use_vpu(a, b):
+    """Emulated-f64 ``dot_general`` on (..., 3, 3) operands forces a
+    T(4,128) minor-dim layout with ~57x tile padding on TPU — XLA's
+    remat pass then materializes the (N+1, B, 3, 3) history buffers in
+    that layout and the order-20 ARAP step program exceeds HBM
+    (measured 33 GB at 42k tets).  Tiny matmuls are VPU work anyway:
+    broadcast-multiply-sum keeps the natural elementwise layout."""
+    return (
+        a.dtype == jnp.float64 or b.dtype == jnp.float64
+    ) and a.shape[-1] <= 4
+
+
 def _matmul(a, b):
-    return jnp.einsum("bij,bjk->bik", a, b, precision="highest")
+    if _use_vpu(a, b):
+        return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+    return jnp.einsum("...ij,...jk->...ik", a, b, precision="highest")
 
 
 def _mm_T2(a, b):  # a @ b^T
-    return jnp.einsum("bij,bkj->bik", a, b, precision="highest")
+    if _use_vpu(a, b):
+        return jnp.sum(a[..., :, None, :] * b[..., None, :, :], axis=-1)
+    return jnp.einsum("...ij,...kj->...ik", a, b, precision="highest")
 
 
 def _T1_mm(a, b):  # a^T @ b
-    return jnp.einsum("bji,bjk->bik", a, b, precision="highest")
+    if _use_vpu(a, b):
+        return jnp.sum(a[..., :, :, None] * b[..., :, None, :], axis=-3)
+    return jnp.einsum("...ji,...jk->...ik", a, b, precision="highest")
 
 
 def _series_conv(xs, ys, k, transpose_y=False):
@@ -427,7 +445,9 @@ def _series_conv_T1(xs, ys, k):
 
 
 taylor.register_rule(
-    svd_w_p, _svd_taylor_rule, lambda eqn: ([True], [False, False, False])
+    svd_w_p,
+    _svd_taylor_rule,
+    lambda eqn, vy: ([True], [False, False, False]),
 )
 
 
@@ -442,6 +462,8 @@ def _svd_scan_rule(engine, carry, eqn, idx, k, in_k, cache, commit):
 
     m_var = eqn.invars[0]
     m_k = in_k[0]
+    if engine.is_const(m_var):
+        return [None, None, None], cache, None
     u0, s0, w0 = engine.eqn_out0[idx]
     outs_used = engine.tfn.outs_used[idx]
     pw_mode = not (outs_used[0] or outs_used[1])

@@ -103,7 +103,7 @@ def register_rule(prim, rule, hist_needs=None):
         HIST_NEEDS[prim] = hist_needs
 
 
-def _default_hist_needs(eqn):
+def _default_hist_needs(eqn, is_varying):
     return [False] * len(eqn.invars), [False] * len(eqn.outvars)
 
 
@@ -170,6 +170,26 @@ class TaylorFn:
         self.live_eqns = live
         self.outs_used = {idx: ou for idx, _, ou in live}
 
+        # series-varying vars: transitively downstream of the graph
+        # inputs.  Everything else (consts, literals, const-derived) has
+        # zero coefficients at every order >= 1, so convolutions against
+        # it vanish and no history needs to be stored for the partner
+        # operand either — this prunes e.g. the (N+1, B, 3, 3) history
+        # of Ds in F = Ds @ Dm^{-1} (Dm^{-1} is a constant).
+        varying = set(v for v in jaxpr.invars)
+        for idx, eqn, outs_used in live:
+            if any(
+                (not isinstance(v, jcore.Literal)) and v in varying
+                for v in eqn.invars
+            ):
+                for v in eqn.outvars:
+                    if not isinstance(v, jcore.DropVar):
+                        varying.add(v)
+        self.varying = varying
+
+        def is_varying(v):
+            return (not isinstance(v, jcore.Literal)) and v in varying
+
         # which vars need full series history
         need = set()
         for idx, eqn, outs_used in live:
@@ -179,9 +199,9 @@ class TaylorFn:
                     % (eqn.primitive.name, eqn)
                 )
             fn = HIST_NEEDS.get(eqn.primitive, _default_hist_needs)
-            ins_need, outs_need = fn(eqn)
+            ins_need, outs_need = fn(eqn, is_varying)
             for v, n in zip(eqn.invars, ins_need):
-                if n and not isinstance(v, jcore.Literal):
+                if n and is_varying(v):
                     need.add(v)
             for v, n, u in zip(eqn.outvars, outs_need, outs_used):
                 if n and u:
@@ -217,10 +237,13 @@ class TaylorEngine:
 
     # -- coefficient access helpers (used by rules) ---------------------------
     def coeff(self, var, i):
-        """Order-i coefficient of a var (None == zero).  Literals and
-        constants are order-0 only."""
+        """Order-i coefficient of a var (None == zero).  Literals,
+        constants, and const-derived (non-varying) vars are order-0
+        only."""
         if isinstance(var, jcore.Literal):
             return var.val if i == 0 else None
+        if i >= 1 and var not in self.tfn.varying:
+            return None  # const-derived: zero at every higher order
         h = self.hist[var]
         if i < len(h):
             return h[i]
@@ -240,12 +263,19 @@ class TaylorEngine:
         the reference's Multiply op (``libsanm/oprs/elem_arith.cpp:181-208``).
         """
         hi = k - 1 if hi is None else hi
+        if self._series_const(u) or self._series_const(v):
+            return None  # a const factor zeroes every convolution term
         terms = []
         for i in range(lo, hi + 1):
             t = z_mul(self.coeff(u, i), self.coeff(v, k - i))
             if t is not None:
                 terms.append(t)
         return z_add(*terms)
+
+    def _series_const(self, var):
+        """True when the var has zero coefficients at every order >= 1
+        (literal / const / const-derived)."""
+        return isinstance(var, jcore.Literal) or var not in self.tfn.varying
 
     # -- order 0 --------------------------------------------------------------
     def start(self, *x0s):
@@ -421,6 +451,29 @@ def promote_island(tfn: TaylorFn, promote_prims):
     return island_eqns, island_vars
 
 
+def _vpu_dot(a, b, dimension_numbers):
+    """Broadcast-multiply-sum form of the small-matmul ``dot_general``
+    patterns the FEA models emit; returns None for unsupported dims."""
+    (lc, rc), (lb, rb) = dimension_numbers
+    if len(lc) != 1 or a.shape[lc[0]] > 4:
+        return None
+    if lb == () and a.ndim == 3 and b.ndim == 2 and lc == (2,) and rc == (0,):
+        # (B, i, j) x (j, k) -> (B, i, k)
+        return jnp.sum(
+            a[:, :, :, None] * b[None, None, :, :], axis=-2
+        )
+    if (
+        tuple(lb) == (0,) and tuple(rb) == (0,)
+        and a.ndim == 3 and b.ndim == 3
+        and lc == (2,) and rc == (1,)
+    ):
+        # batched (B, i, j) x (B, j, k) -> (B, i, k)
+        return jnp.sum(
+            a[:, :, :, None] * b[:, None, :, :], axis=-2
+        )
+    return None
+
+
 def cast_taylor_fn(tfn: TaylorFn, dtype, promote_prims=()) -> TaylorFn:
     """Retrace ``tfn`` with every floating value (inputs, closed-over
     constants, literals) cast to ``dtype``.
@@ -470,9 +523,35 @@ def cast_taylor_fn(tfn: TaylorFn, dtype, promote_prims=()) -> TaylorFn:
             )
             return _cast_to(val, f64 if hi else dtype)
 
+        constvars = set(jaxpr.constvars)
+
+        def series_const(v):
+            return (
+                isinstance(v, jcore.Literal)
+                or v in constvars
+                or v not in tfn.varying
+            )
+
         for idx, eqn, outs_used in tfn.live_eqns:
             hi = idx in island_eqns
             invals = [read(v, hi) for v in eqn.invars]
+            if hi and eqn.primitive.name == "dot_general" and any(
+                series_const(v) for v in eqn.invars
+            ):
+                # small f64 matmuls against a constant (e.g.
+                # F = Ds @ Dm^{-1}): decompose to VPU broadcast-sum so
+                # the island never emits an emulated-f64 dot_general —
+                # its TPU lowering forces a ~57x-padded minor-dim
+                # layout onto the (N+1, B, 3, 3) history buffers (see
+                # ops/svd_w.py _use_vpu).  The const partner also means
+                # the resulting mul eqns need no history.
+                out = _vpu_dot(
+                    invals[0], invals[1],
+                    eqn.params["dimension_numbers"],
+                )
+                if out is not None:
+                    env[eqn.outvars[0]] = out
+                    continue
             params = dict(eqn.params)
             if not hi:
                 for key in ("new_dtype", "dtype", "preferred_element_type"):
@@ -615,7 +694,14 @@ def _mul_rule(engine, eqn, idx, k, in_k, cache, commit):
     return [out], cache
 
 
-register_rule(lax.mul_p, _mul_rule, lambda eqn: ([True, True], [False]))
+register_rule(
+    lax.mul_p,
+    _mul_rule,
+    lambda eqn, vy: (
+        [vy(eqn.invars[1]), vy(eqn.invars[0])],
+        [False],
+    ),
+)
 
 
 def _div_rule(engine, eqn, idx, k, in_k, cache, commit):
@@ -635,7 +721,15 @@ def _div_rule(engine, eqn, idx, k, in_k, cache, commit):
     return [out], cache
 
 
-register_rule(lax.div_p, _div_rule, lambda eqn: ([False, True], [True]))
+register_rule(
+    lax.div_p,
+    _div_rule,
+    # conv(out, v): both needed only when the denominator varies
+    lambda eqn, vy: (
+        [False, vy(eqn.invars[1])],
+        [vy(eqn.invars[1])],
+    ),
+)
 
 
 def _dot_general_rule(engine, eqn, idx, k, in_k, cache, commit):
@@ -646,11 +740,12 @@ def _dot_general_rule(engine, eqn, idx, k, in_k, cache, commit):
     bind = partial(lax.dot_general_p.bind, **eqn.params)
     if cache is None:
         terms = []
-        for i in range(1, k):
-            ui = engine.coeff(u, i)
-            vki = engine.coeff(v, k - i)
-            if ui is not None and vki is not None:
-                terms.append(bind(ui, vki))
+        if not (engine._series_const(u) or engine._series_const(v)):
+            for i in range(1, k):
+                ui = engine.coeff(u, i)
+                vki = engine.coeff(v, k - i)
+                if ui is not None and vki is not None:
+                    terms.append(bind(ui, vki))
         cache = z_add(*terms)
     t1 = None if v_k is None else bind(engine.coeff0(u), v_k)
     t2 = None if u_k is None else bind(u_k, engine.coeff0(v))
@@ -658,7 +753,12 @@ def _dot_general_rule(engine, eqn, idx, k, in_k, cache, commit):
 
 
 register_rule(
-    lax.dot_general_p, _dot_general_rule, lambda eqn: ([True, True], [False])
+    lax.dot_general_p,
+    _dot_general_rule,
+    lambda eqn, vy: (
+        [vy(eqn.invars[1]), vy(eqn.invars[0])],
+        [False],
+    ),
 )
 
 
@@ -691,12 +791,13 @@ def _pow_series_rule(engine, eqn, idx, k, in_k, cache, commit, p=None):
     f0 = engine.coeff0(f)
     if cache is None:
         terms = []
-        for i in range(1, k):
-            fi = engine.coeff(f, k - i)
-            xi = engine.coeff(x, i)
-            t = z_mul(fi, xi)
-            if t is not None:
-                terms.append(t * ((i / k) * (p + 1) - 1.0))
+        if not engine._series_const(x):
+            for i in range(1, k):
+                fi = engine.coeff(f, k - i)
+                xi = engine.coeff(x, i)
+                t = z_mul(fi, xi)
+                if t is not None:
+                    terms.append(t * ((i / k) * (p + 1) - 1.0))
         s = z_add(*terms)
         cache = None if s is None else s / x0
     lin = None if x_k is None else (p * f0 / x0) * x_k
@@ -715,17 +816,17 @@ def _make_pow_rule(get_p):
 register_rule(
     lax.pow_p,
     _make_pow_rule(lambda eng, eqn: _static_scalar(eng, eqn.invars[1])),
-    lambda eqn: ([True, False], [True]),
+    lambda eqn, vy: ([True, False], [vy(eqn.invars[0])]),
 )
 register_rule(
     lax.sqrt_p,
     _make_pow_rule(lambda eng, eqn: 0.5),
-    lambda eqn: ([True], [True]),
+    lambda eqn, vy: ([True], [vy(eqn.invars[0])]),
 )
 register_rule(
     lax.rsqrt_p,
     _make_pow_rule(lambda eng, eqn: -0.5),
-    lambda eqn: ([True], [True]),
+    lambda eqn, vy: ([True], [vy(eqn.invars[0])]),
 )
 
 
@@ -738,17 +839,19 @@ def _log_rule(engine, eqn, idx, k, in_k, cache, commit):
     x0 = engine.coeff0(x)
     if cache is None:
         terms = []
-        for i in range(1, k):
-            t = z_mul(engine.coeff(f, i), engine.coeff(x, k - i))
-            if t is not None:
-                terms.append(t * (i / k))
+        if not engine._series_const(x):
+            for i in range(1, k):
+                t = z_mul(engine.coeff(f, i), engine.coeff(x, k - i))
+                if t is not None:
+                    terms.append(t * (i / k))
         s = z_add(*terms)
         cache = None if s is None else -s / x0
     lin = None if x_k is None else x_k / x0
     return [z_add(lin, cache)], cache
 
 
-register_rule(lax.log_p, _log_rule, lambda eqn: ([True], [True]))
+register_rule(lax.log_p, _log_rule,
+              lambda eqn, vy: ([True], [vy(eqn.invars[0])]))
 
 
 def _exp_rule(engine, eqn, idx, k, in_k, cache, commit):
@@ -759,16 +862,18 @@ def _exp_rule(engine, eqn, idx, k, in_k, cache, commit):
     f0 = engine.coeff0(f)
     if cache is None:
         terms = []
-        for i in range(1, k):
-            t = z_mul(engine.coeff(x, i), engine.coeff(f, k - i))
-            if t is not None:
-                terms.append(t * (i / k))
+        if not engine._series_const(x):
+            for i in range(1, k):
+                t = z_mul(engine.coeff(x, i), engine.coeff(f, k - i))
+                if t is not None:
+                    terms.append(t * (i / k))
         cache = z_add(*terms)
     lin = None if x_k is None else f0 * x_k
     return [z_add(lin, cache)], cache
 
 
-register_rule(lax.exp_p, _exp_rule, lambda eqn: ([True], [True]))
+register_rule(lax.exp_p, _exp_rule,
+              lambda eqn, vy: ([True], [vy(eqn.invars[0])]))
 
 
 # ----------------------------------------------------------------------------
@@ -875,11 +980,11 @@ def _integer_pow_rule(engine, eqn, idx, k, in_k, cache, commit):
     return [out], cache
 
 
-def _integer_pow_hist_needs(eqn):
+def _integer_pow_hist_needs(eqn, is_varying):
     n = eqn.params["y"]
     # negative exponents use the analytic recurrence, which needs the
     # output series; positive ones keep their chain series in userdata.
-    return [True], [n < 0]
+    return [True], [n < 0 and is_varying(eqn.invars[0])]
 
 
 register_rule(lax.integer_pow_p, _integer_pow_rule, _integer_pow_hist_needs)

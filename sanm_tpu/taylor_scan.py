@@ -152,10 +152,17 @@ class ScanEngine:
         return self._env0[var]
 
     def is_const(self, var):
-        """True when the var has no coefficients beyond order 0."""
+        """True when the var has no usable coefficients beyond order 0:
+        literals, consts, const-derived vars, and vars whose history was
+        pruned (pruning only happens when every convolution partner is
+        const, so the conv is legitimately zero)."""
         if isinstance(var, jcore.Literal):
             return True
-        return var not in self.tfn.need_hist or var in self._const_vars
+        return (
+            var not in self.tfn.varying
+            or var not in self.tfn.need_hist
+            or var in self._const_vars
+        )
 
     def buf(self, carry, var):
         return carry[0][self._hist_index[var]]
@@ -523,6 +530,8 @@ def _integer_pow_rule(engine, carry, eqn, idx, k, in_k, cache, commit):
         return _pow_like_rule(lambda e, q: float(n))(
             engine, carry, eqn, idx, k, in_k, cache, commit
         )
+    if engine.is_const(x):
+        return [None], cache, None
     chain, out_idx = _binary_chain(n)
     series = _ud_dict(engine, carry, idx)  # list of (N+1, ...) buffers
     xbuf = engine.buf(carry, x)
