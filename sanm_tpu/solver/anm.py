@@ -871,20 +871,58 @@ class _ANMDriverBase:
                     "orthogonality violated: %g"
                     % (np.abs(d[1:]) / scales).max()
                 )
-        self.xt_coeffs = coeffs
+        self.xt_coeffs = self._truncate_noise_tail(coeffs)
         self._estimate_valid_range()
+
+    def _truncate_noise_tail(self, coeffs):
+        """Adaptive effective order: drop trailing coefficients that are
+        amplified numerical noise.
+
+        A convergent-radius series has monotone-trending |x_k|; when
+        per-order bias noise is amplified through A^{-1} the tail shows
+        a V-shape — decay to a noise floor, then geometric regrowth
+        (measured on armadillo-small ARAP: decay to ~1e-6 at k~7, then
+        ~16x per order up to 1e14).  Including that tail collapses the
+        estimated validity range (a_max uses |x_N|) and eventually
+        overflows.  Truncating at the V-bottom keeps the genuinely
+        informative orders; the error-correcting restarts absorb the
+        (now bounded) truncation error.  The reference never needs this
+        because its all-f64 CPU noise floor sits below maxr relevance.
+        """
+        norms = np.linalg.norm(coeffs, axis=1)
+        if len(norms) < 7:
+            return coeffs
+        kmin = int(np.argmin(norms[1:])) + 1
+        if kmin >= 5 and kmin < len(norms) - 1 and (
+            norms[-1] > norms[kmin] * 1e4
+        ):
+            if verbose_mode():
+                print(
+                    "ANM: truncating noise tail at order %d "
+                    "(|x_%d|=%.2g, |x_N|=%.2g)"
+                    % (kmin, kmin, norms[kmin], norms[-1])
+                )
+            return coeffs[: kmin + 1]
+        return coeffs
 
     def _estimate_valid_range(self):
         """Reference ``estimate_valid_range`` (``libsanm/anm.cpp:117-154``):
         a_max = (maxr * |x_1| / |x_N|)^(1/(N-1)), optionally extended by
-        the Pade approximant."""
+        the Pade approximant.  Uses the EFFECTIVE order (the series may
+        have been noise-truncated below hp.order)."""
         coeffs = self.xt_coeffs
+        n_eff = len(coeffs) - 1
+        max_a_bound = (
+            self.max_a_bound
+            if n_eff == self.hp.order
+            else polynomial.stable_x_range(n_eff)
+        )
         x1n = float(np.linalg.norm(coeffs[1]))
         xback = max(float(np.linalg.norm(coeffs[-1])), 1e-15)
         a_bound = (self.hp.maxr / xback * x1n) ** (
-            1.0 / (self.hp.order - 1)
+            1.0 / (n_eff - 1)
         )
-        a_bound = min(a_bound, self.max_a_bound)
+        a_bound = min(a_bound, max_a_bound)
         self._t_coeffs = coeffs[:, -1].copy()
         if not self._t_coeffs[1] > 0:
             raise SANMNumericalError(
@@ -902,7 +940,7 @@ class _ANMDriverBase:
         import os
 
         use_pade = self.hp.use_pade or bool(os.environ.get("SANM_PADE"))
-        if use_pade and a_bound < self.max_a_bound:
+        if use_pade and a_bound < max_a_bound:
             with ScopedProfiler("pade_build"):
                 pade = PadeApproximation(
                     self.xt_coeffs,
@@ -910,7 +948,7 @@ class _ANMDriverBase:
                 )
             with ScopedProfiler("pade_est"):
                 ok = pade.ok and pade.estimate_valid_range(
-                    a_bound, self.hp.maxr, self.max_a_bound
+                    a_bound, self.hp.maxr, max_a_bound
                 )
             if ok:
                 self._pade = pade

@@ -297,7 +297,12 @@ class SparseAssembler:
             [xt.astype(dtype), jnp.zeros((1,), dtype)]
         )  # index n+1 = dead padding
         g = xp[loc_cols]  # (B, Din) gather — small
-        gin = jnp.einsum("bqd,bd->bq", Lin, g, precision="highest")
+        if dtype == jnp.float64:
+            # broadcast-sum: emulated-f64 dot_general forces a padded
+            # minor-dim layout on TPU (see ops/svd_w.py _use_vpu)
+            gin = jnp.sum(Lin * g[:, None, :], axis=-1)
+        else:
+            gin = jnp.einsum("bqd,bd->bq", Lin, g, precision="highest")
         return gin.reshape(self._gin_shape)
 
     def apply_out(self, b, dtype=None):
@@ -305,10 +310,13 @@ class SparseAssembler:
         assembled (n_rows,) vector."""
         dtype = dtype or b.dtype
         _, Lout, _, loc_rows = self._lio(dtype)
-        contrib = jnp.einsum(
-            "bdp,bp->bd", Lout, b.reshape(self.B, self.odim).astype(dtype),
-            precision="highest",
-        )
+        bb = b.reshape(self.B, self.odim).astype(dtype)
+        if dtype == jnp.float64:
+            contrib = jnp.sum(Lout * bb[:, None, :], axis=-1)
+        else:
+            contrib = jnp.einsum(
+                "bdp,bp->bd", Lout, bb, precision="highest",
+            )
         out = jnp.zeros((self.n_rows + 1,), dtype).at[loc_rows].add(contrib)
         return out[: self.n_rows]
 

@@ -422,11 +422,22 @@ def promote_island(tfn: TaylorFn, promote_prims):
             if not isinstance(v, jcore.DropVar):
                 island_vars.add(v)
 
-    # downstream closure through cancellation-prone elementwise chains:
-    # extend when at least one var operand is island and every other var
+    # downstream closure through elementwise/structural chains: extend
+    # when at least one var operand is island and every other var
     # operand is island or a closed-over constant (consts and literals
-    # are upcast at read)
-    ext_prims = (_lx.add_p, _lx.sub_p, _lx.neg_p)
+    # are upcast at read).  add/sub capture cancellation (ARAP's
+    # P = mu (F - W) subtracts nearly equal tensors); mul/div and the
+    # shape ops keep the island's f64 exactness flowing to the graph
+    # output, so the per-order bias b_k of an svd-bearing model is
+    # assembled without an f32 rounding stage — measured on
+    # armadillo-small ARAP: f32-rounded b_k noise (~1e-7 relative) is
+    # amplified ~16x per order through A^{-1} and the coefficient tail
+    # explodes from a ~1e-6 V-shaped noise floor
+    ext_prims = (
+        _lx.add_p, _lx.sub_p, _lx.neg_p, _lx.mul_p, _lx.div_p,
+        _lx.transpose_p, _lx.reshape_p, _lx.broadcast_in_dim_p,
+        _lx.squeeze_p,
+    )
     constvars = set(tfn.jaxpr.constvars)
     changed = True
     while changed:

@@ -57,8 +57,10 @@ def test_island_structure():
     # the graph input feeds the island -> must be f64 in the retrace
     tfn32p = cast_taylor_fn(tfn, jnp.float32, promote_prims=(svd_w_p,))
     assert tfn32p.jaxpr.invars[0].aval.dtype == jnp.float64
-    # the output leaves the island through the non-promoted `* 2.5`
-    assert tfn32p.jaxpr.outvars[0].aval.dtype == jnp.float32
+    # the island extends through the elementwise consumers (`- W`,
+    # `* 2.5`) to the output, so the per-order bias of an svd-bearing
+    # model is assembled without an f32 rounding stage
+    assert tfn32p.jaxpr.outvars[0].aval.dtype == jnp.float64
     # the svd eqn itself runs at f64
     svd_eqns = [
         e for e in tfn32p.jaxpr.eqns if e.primitive.name == "sanm_svd_w"
