@@ -513,14 +513,15 @@ class _ANMDriverBase:
                 carry, aux = prepare_light(xt0)
             with ScopedProfiler("sparse_prep"):
                 if self._solver_mode() == "cg":
-                    # device-resident PCG, jitted standalone and called
-                    # between the per-order dispatches (the in-scan
-                    # variant crashes this toolchain's TPU compiler)
+                    # device-resident PCG, host-driven in fixed-trip
+                    # jitted chunks between the per-order dispatches
+                    # (the while_loop variant takes ~32 min to compile
+                    # on this XLA/TPU toolchain; see
+                    # scripts/repro_pcg_crash.py)
                     from .linear import SparseCG
 
                     cg = SparseCG(asm, data, l2_penalty=pen)
-                    cg_jit = jax.jit(cg.solve)
-                    solve = lambda b: np.asarray(cg_jit(jnp.asarray(b)))
+                    solve = lambda b: np.asarray(cg.solve(jnp.asarray(b)))
                     data_np = np.asarray(data)
                     A = sp.csr_matrix(
                         (data_np, (asm.csr_rowidx, asm.csr_cols)),

@@ -375,34 +375,80 @@ class SparseCG:
             return yt + self.l2_penalty * x
         return y
 
-    def solve(self, b):
-        b = b.reshape(-1)
+    def _chunk_kernel(self, n_steps):
+        """Jitted fixed-trip CG chunk: ``lax.fori_loop`` with converged
+        iterations frozen.  A data-dependent ``lax.while_loop`` CG is
+        mathematically identical but takes this XLA/TPU toolchain ~32
+        minutes to compile at n=20k (measured, scripts/repro_pcg_crash
+        .py) vs ~4 s for the fori form; the freeze guard is required
+        because unguarded iterations past convergence turn alpha/beta
+        into 0/0 and diverge (measured rel-res 2.5e6 after 200 steps).
+        """
+        if getattr(self, "_chunk_jit", None) is not None:
+            return self._chunk_jit
+
+        def chunk(data, binv, b, state):
+            bnorm2 = jnp.vdot(b, b)
+
+            def pre(v):
+                nb = self.n // self.block
+                return jnp.einsum(
+                    "nij,nj->ni", binv, v.reshape(nb, self.block)
+                ).reshape(-1)
+
+            def mv(v):
+                y = self.assembler.matvec(data, v)
+                if self.l2_penalty:
+                    y = self.assembler.matvec_t(data, y) + (
+                        self.l2_penalty * v
+                    )
+                return y
+
+            def body(_, st):
+                x, r, z, p, rz = st
+                live = jnp.vdot(r, r) > (self.tol**2) * bnorm2
+                Ap = mv(p)
+                pAp = jnp.vdot(p, Ap)
+                alpha = jnp.where(
+                    live, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0
+                )
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = pre(r)
+                rz2 = jnp.vdot(r, z)
+                beta = jnp.where(
+                    live, rz2 / jnp.where(rz != 0, rz, 1.0), 0.0
+                )
+                p = z + beta * p
+                return x, r, z, p, rz2
+
+            state = jax.lax.fori_loop(0, n_steps, body, state)
+            return state, jnp.linalg.norm(state[1])
+
+        self._chunk_jit = jax.jit(chunk)
+        return self._chunk_jit
+
+    def solve(self, b, chunk: int = 64):
+        """Host-driven chunked CG: fixed-trip jitted chunks with a
+        scalar convergence check between them (the PARDISO-style
+        ``solve`` entry; factorization state = the block-Jacobi
+        preconditioner built in the constructor)."""
+        b = jnp.asarray(b).reshape(-1)
         if self.l2_penalty:
             b = self.assembler.matvec_t(self._data, b)
-        bnorm = jnp.linalg.norm(b)
-
-        def body(state):
-            x, r, z, p, rz, it = state
-            Ap = self._mv(p)
-            alpha = rz / jnp.vdot(p, Ap)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = self._precond(r)
-            rz2 = jnp.vdot(r, z)
-            p = z + (rz2 / rz) * p
-            return x, r, z, p, rz2, it + 1
-
-        def cond(state):
-            _, r, _, _, _, it = state
-            return (jnp.linalg.norm(r) > self.tol * bnorm) & (
-                it < self.max_iter
-            )
-
-        x0 = jnp.zeros_like(b)
+        bnorm = float(jnp.linalg.norm(b))
+        if bnorm == 0.0:
+            return jnp.zeros_like(b)
+        kern = self._chunk_kernel(chunk)
         z0 = self._precond(b)
-        state = (x0, b, z0, z0, jnp.vdot(b, z0), 0)
-        x, *_ = jax.lax.while_loop(cond, body, state)
-        return x
+        state = (jnp.zeros_like(b), b, z0, z0, jnp.vdot(b, z0))
+        done = 0
+        while done < self.max_iter:
+            state, rnorm = kern(self._data, self._binv, b, state)
+            done += chunk
+            if float(rnorm) <= self.tol * bnorm:
+                break
+        return state[0]
 
     def apply(self, x):
         return self.assembler.matvec(self._data, x.reshape(-1))

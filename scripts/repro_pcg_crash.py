@@ -125,17 +125,24 @@ def main():
         return x
 
     def cg_fori(b):
-        """Fixed-trip-count CG: identical math, no data-dependent bound."""
+        """Fixed-trip-count CG: identical math, no data-dependent loop
+        bound.  Iterations past convergence are frozen (rz -> 0 makes
+        the unguarded alpha/beta 0/0 and the iterate diverges — first
+        measured here: 200 unguarded iterations left rel-res 2.5e6)."""
+        bnorm2 = jnp.vdot(b, b)
 
         def body(_, state):
             x, r, z, pv, rz = state
+            live = jnp.vdot(r, r) > 1e-26 * bnorm2
             Ap = mv(pv)
-            alpha = rz / jnp.vdot(pv, Ap)
+            pAp = jnp.vdot(pv, Ap)
+            alpha = jnp.where(live, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
             x = x + alpha * pv
             r = r - alpha * Ap
             z = dinv * r
             rz2 = jnp.vdot(r, z)
-            pv = z + (rz2 / rz) * pv
+            beta = jnp.where(live, rz2 / jnp.where(rz != 0, rz, 1.0), 0.0)
+            pv = z + beta * pv
             return x, r, z, pv, rz2
 
         z0 = dinv * b
