@@ -894,8 +894,14 @@ class _ANMDriverBase:
         if len(norms) < 7:
             return coeffs
         kmin = int(np.argmin(norms[1:])) + 1
+        # threshold 100: genuine series plateau/oscillate within ~10x of
+        # their envelope; a 100x regrowth is amplified noise.  (A first
+        # 1e4 threshold let a 300x tail through on armadillo ARAP —
+        # evaluated at a=3.5, its |x_20| a^20 contribution stepped the
+        # continuation onto a near-singular state and the next
+        # expansion overflowed.)
         if kmin >= 5 and kmin < len(norms) - 1 and (
-            norms[-1] > norms[kmin] * 1e4
+            norms[-1] > norms[kmin] * 100.0
         ):
             if verbose_mode():
                 print(
@@ -1124,13 +1130,34 @@ class ANMEqnSolver(ANMSolverVecScale):
         return True
 
     def next_iter(self):
-        """Reference ``ANMEqnSolver::next_iter`` (``anm.cpp:464-478``)."""
+        """Reference ``ANMEqnSolver::next_iter`` (``anm.cpp:464-478``),
+        plus a residual backoff the reference does not need: when
+        residual coefficient noise survives into the series, evaluating
+        at the full validated range can *increase* the residual (step
+        off the solution curve); halving ``a`` until the candidate does
+        not regress keeps every restart monotone.  Costs one exact
+        NumPy forward evaluation per probe."""
         if self._converged:
             return self
         a = self.solve_a(1.0) if self.get_t_upper() >= 1.0 else (
             self.get_t_max_a()
         )
-        self.xt0 = np.asarray(self.eval_xt(a))
+        prev_rms = self._residual_rms
+        cand = np.asarray(self.eval_xt(a))
+        for _ in range(6):
+            fx = self._eval_fx_np(cand)
+            v = fx.reshape(-1) + self.eqn_y
+            rms = float(np.sqrt(np.mean(v * v)))
+            if np.isfinite(rms) and rms <= prev_rms * 1.5:
+                break
+            a *= 0.5
+            if verbose_mode():
+                print(
+                    "ANM backoff: rms %g > 1.5x prev %g; a -> %g"
+                    % (rms, prev_rms, a)
+                )
+            cand = np.asarray(self.eval_xt(a))
+        self.xt0 = cand
         self.xt0[self.n] = 0.0  # reset t0
         self.solve_expansion_coeffs()
         return self

@@ -75,6 +75,14 @@ def run_cell(out_dir, mesh, energy, solver, task, extra_env, timeout=None):
             return True
         args.append(os.path.join(CONFIGS, deform_cfg))
     args.append(os.path.join(CONFIGS, ENERGY_OVERRIDES[energy]))
+    if mesh == "armadillo_small" and energy == "arap" and task == "gravity":
+        # the reference's own protocol hardens the material for exactly
+        # this cell (cmp_with_baseline.sh:44-46 adds
+        # override_stiff_material.json): with the default soft material
+        # the continuation walks into collapsing elements and the SVD-W
+        # expansion radius goes to zero — in f64 too (measured here AND
+        # implied by the reference's special case)
+        args.append(os.path.join(CONFIGS, "override_stiff_material.json"))
     for ov in SOLVER_OVERRIDES[solver]:
         args.append(os.path.join(CONFIGS, ov))
 
