@@ -891,6 +891,7 @@ class _ANMDriverBase:
         because its all-f64 CPU noise floor sits below maxr relevance.
         """
         norms = np.linalg.norm(coeffs, axis=1)
+        self._tail_truncated = False
         if len(norms) < 7:
             return coeffs
         kmin = int(np.argmin(norms[1:])) + 1
@@ -909,6 +910,7 @@ class _ANMDriverBase:
                     "(|x_%d|=%.2g, |x_N|=%.2g)"
                     % (kmin, kmin, norms[kmin], norms[-1])
                 )
+            self._tail_truncated = True
             return coeffs[: kmin + 1]
         return coeffs
 
@@ -1144,19 +1146,23 @@ class ANMEqnSolver(ANMSolverVecScale):
         )
         prev_rms = self._residual_rms
         cand = np.asarray(self.eval_xt(a))
-        for _ in range(6):
-            fx = self._eval_fx_np(cand)
-            v = fx.reshape(-1) + self.eqn_y
-            rms = float(np.sqrt(np.mean(v * v)))
-            if np.isfinite(rms) and rms <= prev_rms * 1.5:
-                break
-            a *= 0.5
-            if verbose_mode():
-                print(
-                    "ANM backoff: rms %g > 1.5x prev %g; a -> %g"
-                    % (rms, prev_rms, a)
-                )
-            cand = np.asarray(self.eval_xt(a))
+        if getattr(self, "_tail_truncated", False):
+            # only probe when this step's series actually carried an
+            # amplified-noise tail; clean expansions step like the
+            # reference (saves one exact forward eval per restart)
+            for _ in range(6):
+                fx = self._eval_fx_np(cand)
+                v = fx.reshape(-1) + self.eqn_y
+                rms = float(np.sqrt(np.mean(v * v)))
+                if np.isfinite(rms) and rms <= prev_rms * 1.5:
+                    break
+                a *= 0.5
+                if verbose_mode():
+                    print(
+                        "ANM backoff: rms %g > 1.5x prev %g; a -> %g"
+                        % (rms, prev_rms, a)
+                    )
+                cand = np.asarray(self.eval_xt(a))
         self.xt0 = cand
         self.xt0[self.n] = 0.0  # reset t0
         self.solve_expansion_coeffs()
