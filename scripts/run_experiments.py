@@ -32,6 +32,10 @@ MESH_TASKS = {
     "armadillo_small": ("armadillo_small.json",
                         "armadillo_small_bend_override.json"),
     "bar": ("bar.json", None),
+    # bar2: the reference's procedural-cuboid twist deform cell
+    # (Makefile.cmp_with_baseline bar2-d -> cuboid_twist_baseline.json);
+    # deform-only, the task config IS the deform config
+    "bar2": ("cuboid_twist_baseline.json", ""),
     "bifur3": ("bifur3.json", "bifur3_bend_override.json"),
     "bob": ("bob.json", "bob_bend_override.json"),
     "human": ("human.json", "human_bend_override.json"),
@@ -73,7 +77,11 @@ def run_cell(out_dir, mesh, energy, solver, task, extra_env, timeout=None):
         if deform_cfg is None:
             print(f"[n/a ] {cell}")
             return True
-        args.append(os.path.join(CONFIGS, deform_cfg))
+        if deform_cfg:
+            args.append(os.path.join(CONFIGS, deform_cfg))
+    elif mesh == "bar2":
+        print(f"[n/a ] {cell} (deform-only mesh)")
+        return True
     args.append(os.path.join(CONFIGS, ENERGY_OVERRIDES[energy]))
     if mesh == "armadillo_small" and energy == "arap" and task == "gravity":
         # the reference's own protocol hardens the material for exactly
