@@ -156,6 +156,29 @@ def main():
         print(f"\nPade benefit: {mean:.2f} iterations saved on average "
               f"({len(saved)} cells)")
 
+    # Pade acceptance diagnostics (per-restart pade_log; VERDICT r2
+    # item 8: is the acceptance rejecting extensions the reference
+    # would take?)
+    n_acc = n_rej = 0
+    gains = []
+    rejects = defaultdict(int)
+    for name, s in cells.items():
+        for rec in s.get("pade_log") or []:
+            if rec.get("accepted"):
+                n_acc += 1
+                gains.append(rec.get("gain", 1.0))
+            else:
+                n_rej += 1
+                reason = rec.get("reject", "?")
+                rejects[reason.split(" ")[0] + " " + reason.split(" ")[1]
+                        if " " in reason else reason] += 1
+    if n_acc + n_rej:
+        g = gmean(gains) if gains else float("nan")
+        print(f"\nPade acceptance: {n_acc}/{n_acc + n_rej} restarts "
+              f"accepted; gmean range gain {g:.2f}x when accepted")
+        for reason, cnt in sorted(rejects.items(), key=lambda kv: -kv[1]):
+            print(f"  reject[{reason}]: {cnt}")
+
     # device-count scaling curve (gen_table_figs.py:60-81): reads the
     # run_scaling.py output if present and writes a plot next to it
     for scal in glob.glob(os.path.join(root, "scaling*.json")):
