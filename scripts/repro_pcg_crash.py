@@ -77,6 +77,9 @@ def main():
                    help="approx unknowns (bob mesh scale: 20k; "
                         "armadillo-small: 41k)")
     p.add_argument("--iters", type=int, default=200)
+    p.add_argument("--skip", nargs="*", default=[],
+                   help="variant names to skip (e.g. while_loop at large "
+                        "n, where its compile alone takes >30 min)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -181,6 +184,9 @@ def main():
                "variants": {}}
     for name, fn in (("while_loop", cg_while), ("fori_loop", cg_fori),
                      ("chebyshev", chebyshev)):
+        if name in args.skip:
+            results["variants"][name] = {"skipped": True}
+            continue
         rec = {}
         try:
             t0 = time.perf_counter()
