@@ -1,12 +1,21 @@
 #!/bin/bash
-# Round-3 matrix half A: gravity sanm cells.
+# Round-3 matrix half A: gravity sanm cells (+ armadillo ARAP baseline).
+# Resumable: cells whose done marker is newer than the last
+# numerics-affecting commit (e122ac0, 2026-08-17 10:18:11 UTC) are
+# already measured with the shipped code and are skipped.
 set -x
 cd "$(dirname "$0")/.."
 RT=results_tpu
+STAMP=/tmp/r3_epoch_a
+touch -d '2026-08-17 10:18:11 UTC' "$STAMP"
+fresh() { [ -f "$RT/$1/done" ] && [ "$RT/$1/done" -nt "$STAMP" ]; }
 RE() {
   local cells=()
   while [ "$1" != "--" ]; do cells+=("$1"); shift; done
   shift
+  local all=1
+  for c in "${cells[@]}"; do fresh "$c" || all=0; done
+  [ "$all" = 1 ] && return
   for c in "${cells[@]}"; do rm -rf "$RT/$c"; done
   python scripts/run_experiments.py --out $RT "$@" || true
 }
@@ -24,6 +33,7 @@ for m in armadillo_small human; do
       --tasks gravity --cell-timeout 5200
   done
 done
+# baseline runner is itself done-marker resumable (baseline code unchanged)
 SANM_WARM_TIMING= python scripts/run_experiments.py --out $RT \
   --meshes armadillo_small --energies arap --solvers baseline \
   --tasks gravity --cell-timeout 10400 || true

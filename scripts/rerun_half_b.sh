@@ -1,12 +1,21 @@
 #!/bin/bash
 # Round-3 matrix half B: deform cells + bar2 + deform baselines.
+# Resumable: cells whose done marker is newer than the last
+# numerics-affecting commit (e122ac0, 2026-08-17 10:18:11 UTC) are
+# already measured with the shipped code and are skipped.
 set -x
 cd "$(dirname "$0")/.."
 RT=results_tpu
+STAMP=/tmp/r3_epoch_b
+touch -d '2026-08-17 10:18:11 UTC' "$STAMP"
+fresh() { [ -f "$RT/$1/done" ] && [ "$RT/$1/done" -nt "$STAMP" ]; }
 RE() {
   local cells=()
   while [ "$1" != "--" ]; do cells+=("$1"); shift; done
   shift
+  local all=1
+  for c in "${cells[@]}"; do fresh "$c" || all=0; done
+  [ "$all" = 1 ] && return
   for c in "${cells[@]}"; do rm -rf "$RT/$c"; done
   python scripts/run_experiments.py --out $RT "$@" || true
 }
