@@ -297,16 +297,23 @@ class _ANMDriverBase:
             seng = ScanEngine(eng_p, order)
             return seng.init_carry(), seng.pack_aux()
 
+        # jit_hoist_consts (not jax.jit): these functions close over the
+        # assembler's element-condensed remap matrices (~40 MB at 42k
+        # tets); baked in as XLA constants they made step_fn a 52 MB
+        # executable whose remote compile + cache deserialization
+        # dominated the cold solve
+        from ..jit_util import jit_hoist_consts
+
         self._hyb = (
-            jax.jit(jac_asm),
-            jax.jit(bias_fn),
-            jax.jit(commit_fn),
+            jit_hoist_consts(jac_asm),
+            jit_hoist_consts(bias_fn),
+            jit_hoist_consts(commit_fn),
             # donate the carry (arg 0) and caches (arg 4): the history
             # buffers are ~(N+1) x batch x inner and would otherwise be
             # copied on every per-order dispatch — measured 0.18 s/order
             # at 42k tets without donation
-            jax.jit(step_fn, donate_argnums=(0, 4)),
-            jax.jit(prepare_light),
+            jit_hoist_consts(step_fn, donate_argnums=(0, 4)),
+            jit_hoist_consts(prepare_light),
         )
         return self._hyb
 
@@ -398,11 +405,13 @@ class _ANMDriverBase:
             )
             return XT, diag
 
+        from ..jit_util import jit_hoist_consts
+
         self._devfns = (
-            jax.jit(factor),
-            jax.jit(order1),
-            jax.jit(fused, donate_argnums=(3, 7, 12, 13)),
-            jax.jit(last, donate_argnums=(8, 9)),
+            jit_hoist_consts(factor),
+            jit_hoist_consts(order1),
+            jit_hoist_consts(fused, donate_argnums=(3, 7, 12, 13)),
+            jit_hoist_consts(last, donate_argnums=(8, 9)),
         )
         return self._devfns
 
