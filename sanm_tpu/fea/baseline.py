@@ -166,10 +166,14 @@ class _Kernels:
                 K = K + self.diag_reg * jnp.eye(12, dtype=K.dtype)
             return K
 
-        self._dpdf_blocks = jax.jit(dpdf_blocks)
-        self._assemble_k = jax.jit(assemble_k)
-        self.energy = jax.jit(energy)
-        self.forces = jax.jit(forces)
+        # hoisted jit: G (B,9,12) alone is ~36 MB f64 at 42k tets and
+        # would otherwise be an embedded XLA constant in each executable
+        from ..jit_util import jit_hoist_consts
+
+        self._dpdf_blocks = jit_hoist_consts(dpdf_blocks)
+        self._assemble_k = jit_hoist_consts(assemble_k)
+        self.energy = jit_hoist_consts(energy)
+        self.forces = jit_hoist_consts(forces)
 
     def hess_blocks(self, vtx):
         """Per-element 12x12 energy Hessian blocks, optionally

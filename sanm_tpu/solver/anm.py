@@ -134,8 +134,12 @@ class _ANMDriverBase:
         self._t_max = 0.0
         self._t_max_a = 0.0
 
-        self._eval_fx_jit = jax.jit(self._eval_fx_impl)
-        self._expand_jit = jax.jit(self._expansion_impl)
+        # hoisted jit: the remap tables (wide force-output gather is
+        # ~170 MB at 42k tets) must be runtime args, not XLA constants
+        from ..jit_util import jit_hoist_consts
+
+        self._eval_fx_jit = jit_hoist_consts(self._eval_fx_impl)
+        self._expand_jit = jit_hoist_consts(self._expansion_impl)
 
     # -- subclass interface ---------------------------------------------------
     def prepare_inp(self, xt):

@@ -312,7 +312,9 @@ class DeviceCholSolver:
             L = jnp.linalg.cholesky(-As)
             return L, s
 
-        self._factor_jit = jax.jit(factor)
+        from ..jit_util import jit_hoist_consts
+
+        self._factor_jit = jit_hoist_consts(factor)
         self._L, self._s = self._factor_jit(data)
 
         def solve(L, s, data, b):
@@ -320,7 +322,7 @@ class DeviceCholSolver:
                 L, s, data, b, assembler.matvec, self.refine_steps
             )
 
-        self._solve_jit = jax.jit(solve)
+        self._solve_jit = jit_hoist_consts(solve)
 
     def factor_ok(self) -> bool:
         """Host-side check that the factorization is usable."""
@@ -425,7 +427,9 @@ class SparseCG:
             state = jax.lax.fori_loop(0, n_steps, body, state)
             return state, jnp.linalg.norm(state[1])
 
-        self._chunk_jit = jax.jit(chunk)
+        from .. import jit_util
+
+        self._chunk_jit = jit_util.jit_hoist_consts(chunk)
         return self._chunk_jit
 
     def solve(self, b, chunk: int = 64):
