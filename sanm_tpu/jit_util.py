@@ -55,7 +55,9 @@ class _HoistedJit:
         key = _sig(args)
         entry = self._cache.get(key)
         if entry is None:
-            closed = jax.make_jaxpr(self._fn)(*args)
+            closed, out_shape = jax.make_jaxpr(
+                self._fn, return_shape=True
+            )(*args)
             jaxpr = closed.jaxpr
             consts = tuple(
                 jnp.asarray(c) if hasattr(c, "shape") else c
@@ -82,9 +84,7 @@ class _HoistedJit:
                 lo, hi = spans[i]
                 donate.extend(range(lo, hi))
             jitted = jax.jit(run, donate_argnums=tuple(donate))
-            out_tree = tree_util.tree_structure(
-                jax.eval_shape(self._fn, *args)
-            )
+            out_tree = tree_util.tree_structure(out_shape)
             entry = (jitted, consts, out_tree)
             self._cache[key] = entry
         jitted, consts, out_tree = entry
