@@ -335,7 +335,7 @@ class _ANMDriverBase:
         if getattr(self, "_devfns", None) is not None:
             return self._devfns
         from ..taylor_scan import ScanEngine
-        from .linear import chol_refine_solve
+        from .linear import chol_factor, chol_refine_solve
 
         asm = self._assembler()
         order = self.hp.order
@@ -354,7 +354,7 @@ class _ANMDriverBase:
             # elastic force Jacobian is negative definite at stable
             # states (A = -K): factor -As; a NaN diagonal flags an
             # indefinite state and the caller falls back to host LU
-            L = jnp.linalg.cholesky(-As)
+            L = chol_factor(-As)
             ok = jnp.isfinite(jnp.diagonal(L)).all()
             return L, s, ok
 
