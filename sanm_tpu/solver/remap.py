@@ -379,6 +379,33 @@ class SparseAssembler:
             jnp.asarray(self.csr_cols)
         ].add(contrib)
 
+    def element_matvec(self, E, x):
+        """A @ x from the per-element condensed stiffness ``E``
+        (``element_stiffness`` output, (B, Dout, Din)) instead of the
+        CSR values: gather (B, Din) + per-element contraction + scatter
+        (B, Dout).  On TPU arbitrary-index gathers/scatters run at
+        ~scalar speed, so this form moves ~6x less index traffic than
+        the nnz-wide COO ``matvec`` (nnz ~ 3.2M vs B*(Dout+Din) ~ 1M at
+        42k tets) and puts the arithmetic on the VPU.  The t column and
+        dead padding vanish via zero-extension of ``x``."""
+        dtype = E.dtype
+        xp = jnp.concatenate(
+            [x.astype(dtype), jnp.zeros((2,), dtype)]
+        )  # index n = t (zero for a pure A@x), n+1 = dead padding
+        g = xp[jnp.asarray(self._loc_cols)]  # (B, Din)
+        if dtype == jnp.float64:
+            # broadcast-sum: emulated-f64 dot_general forces a padded
+            # minor-dim layout on TPU (see ops/svd_w.py _use_vpu)
+            contrib = jnp.sum(E * g[:, None, :], axis=-1)
+        else:
+            contrib = jnp.einsum(
+                "bde,be->bd", E, g, precision="highest"
+            )
+        out = jnp.zeros((self.n_rows + 1,), dtype).at[
+            jnp.asarray(self._loc_rows)
+        ].add(contrib)
+        return out[: self.n_rows]
+
 
 def assemble_dense(
     remap_out: LinearRemap,

@@ -204,3 +204,28 @@ def test_condensed_remap_applies_match():
     got_out = asm.apply_out(b)
     require_tensor_eq(np.asarray(got_out), np.asarray(ref_out), 1e-12,
                       msg="apply_out")
+
+
+def test_element_matvec_matches_coo():
+    """element_matvec (gather-lean refinement matvec from the condensed
+    per-element stiffness) must equal the COO matvec in f64 and f32."""
+    body, _ = make_problem()
+    model = body.make_forward(EnergyModel.NEOHOOKEAN_C)
+    gin0 = model.lt_inp.remap.apply(jnp.asarray(model.x0()))
+    J = batched_jacobian(model.fn, gin0)
+    B = gin0.shape[0]
+    n = model.lt_inp.n_unknown_vtx
+    asm = SparseAssembler(model.lt_out.remap, model.lt_inp.remap,
+                          B, 9, 9, n)
+    data, _ = asm.assemble_csr(J)
+    E = asm.element_stiffness(J)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(n))
+    ref = np.asarray(asm.matvec(data, x))
+    got = np.asarray(asm.element_matvec(E, x))
+    require_tensor_eq(got, ref, 1e-11, msg="element_matvec f64")
+    got32 = np.asarray(
+        asm.element_matvec(E.astype(jnp.float32), x.astype(jnp.float32))
+    )
+    require_tensor_eq(got32.astype(np.float64), ref, 1e-4,
+                      msg="element_matvec f32")
