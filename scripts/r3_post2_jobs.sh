@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-3 second wave of TPU jobs (run AFTER the matrix + post_matrix
+# jobs so nothing contends with timed cells):
+#  1. cold-solve re-measure with the const-hoisted executables
+#     (VERDICT r2 item 7: target <= 60 s cold on armadillo NHC)
+#  2. dense_chol at armadillo scale (n=41k) via the new blocked
+#     single-buffer Cholesky — the fully device-resident production
+#     solve on the headline mesh
+#  3. baseline_noproj / levmar matrix variants (reference protocol,
+#     cmp_with_baseline.sh:49-53)
+set -x
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD:$PYTHONPATH"
+RT=results_tpu
+
+# 1: two bench runs — first pays fresh compiles into the cache, second
+# measures the cached cold path the driver will see
+if [ ! -f $RT/bench_cold_hoisted.json ]; then
+  timeout 3600 python bench.py > /tmp/bench_hoist_1.json 2>/tmp/bench_hoist_1.log
+  timeout 3600 python bench.py > /tmp/bench_hoist_2.json 2>/tmp/bench_hoist_2.log \
+    && cp /tmp/bench_hoist_2.json $RT/bench_cold_hoisted.json
+fi
+
+# 2: solver shootout on the headline mesh (host_lu vs device dense_chol)
+[ -f $RT/solver_shootout_armadillo.json ] || \
+timeout 7200 python scripts/bench_solvers.py --mesh armadillo_small.json \
+  --solvers host_lu dense_chol \
+  --out $RT/solver_shootout_armadillo.json || true
+
+# 3: the remaining reference baseline variants
+bash scripts/run_noproj.sh
+echo "R3 POST2 JOBS COMPLETE"
