@@ -13,6 +13,11 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:$PYTHONPATH"
 RT=results_tpu
 
+# 0: solo re-measurement of every cell timed under the 2-3-process
+# contention window (see scripts/rerun_solo.sh header), plus any cell
+# the runner race left without a done marker
+bash scripts/rerun_solo.sh
+
 # 1: two bench runs — first pays fresh compiles into the cache, second
 # measures the cached cold path the driver will see
 if [ ! -f $RT/bench_cold_hoisted.json ]; then
