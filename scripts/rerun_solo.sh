@@ -1,6 +1,6 @@
 #!/bin/bash
 # Solo re-measurement of every sanm/sanm_no_pade matrix cell whose done
-# marker predates 14:31:30 UTC 2026-08-17 — the moment the TPU became
+# marker predates 15:45:00 UTC 2026-08-17 — the moment the TPU became
 # exclusively owned by one sequential runner.  Earlier round-3 cells
 # were measured with 2-3 concurrent TPU processes (two leftover
 # background halves from the previous session plus the sequential
@@ -11,7 +11,7 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:$PYTHONPATH"
 RT=results_tpu
 STAMP=/tmp/r3_solo_epoch
-touch -d '2026-08-17 14:31:30 UTC' "$STAMP"
+touch -d '2026-08-17 15:45:00 UTC' "$STAMP"
 fresh() { [ -f "$RT/$1/done" ] && [ "$RT/$1/done" -nt "$STAMP" ]; }
 RE() {
   local cells=()
