@@ -242,6 +242,26 @@ def _series_conv(xs, ys, k, transpose_y=False):
     return z_add(*terms)
 
 
+def _series_conv_sym(xs, k, combine):
+    """``sum_{i=1..k-1} combine(xs[i], xs[k-i])`` when the terms pair as
+    transposes, ``combine(xs[k-i], xs[i]) == combine(xs[i], xs[k-i])^T``
+    (a^T b / a b^T on any series; a @ b when every term is symmetric,
+    e.g. the polar P series): only the ``i < k/2`` half is materialized,
+    mirrored, plus the even-``k`` middle term once.  Halves the traced
+    work of the unroll engine's SVD-W convolutions (the scan engine's
+    analog is ``ScanEngine.buf_conv_sym``)."""
+    terms = []
+    for i in range(1, (k + 1) // 2):
+        xi, yk = xs[i], xs[k - i]
+        if xi is None or yk is None:
+            continue
+        t = combine(xi, yk)
+        terms.append(t + jnp.swapaxes(t, -1, -2))
+    if k % 2 == 0 and k >= 2 and xs[k // 2] is not None:
+        terms.append(combine(xs[k // 2], xs[k // 2]))
+    return z_add(*terms)
+
+
 def _svd_taylor_rule(engine, eqn, idx, k, in_k, cache, commit):
     m_var = eqn.invars[0]
     m_k = in_k[0]
@@ -289,8 +309,8 @@ def _svd_taylor_pw(engine, m_var, m_k, u0, s0, v0, w0, sp, ud, k, cache, commit)
     ms = [engine.coeff(m_var, i) for i in range(k)]  # M_0..M_{k-1}
 
     if cache is None:
-        bm = _series_conv(ms, ms, k, transpose_y=True)
-        bp = _series_conv(P, P, k)
+        bm = _series_conv_sym(ms, k, _mm_T2)
+        bp = _series_conv_sym(P, k, _matmul)  # P_j symmetric
         bpw = _series_conv(P, W, k)
         cache = (bm, bp, bpw)
     bm, bp, bpw = cache
@@ -372,8 +392,8 @@ def _svd_taylor_usuw(
         if ps_part is not None:
             mb_terms.append(_matmul(ps_part, w0))
         mb = z_add(*mb_terms)
-        bu = _series_conv_T1(U, U, k)
-        bw = _series_conv_T1(W, W, k)
+        bu = _series_conv_sym(U, k, _T1_mm)
+        bw = _series_conv_sym(W, k, _T1_mm)
         cache = (mb, bu, bw, t_part, ps_part)
     mb, bu, bw, t_part, ps_part = cache
 
@@ -433,17 +453,6 @@ def _svd_taylor_usuw(
     return [u_k, s_k, w_k], cache
 
 
-def _series_conv_T1(xs, ys, k):
-    """sum_{i=1..k-1} xs[i]^T @ ys[k-i]."""
-    terms = []
-    for i in range(1, k):
-        xi, yk = xs[i], ys[k - i]
-        if xi is None or yk is None:
-            continue
-        terms.append(_T1_mm(xi, yk))
-    return z_add(*terms)
-
-
 taylor.register_rule(
     svd_w_p,
     _svd_taylor_rule,
@@ -477,8 +486,10 @@ def _svd_scan_rule(engine, carry, eqn, idx, k, in_k, cache, commit):
         # sorted userdata keys: ["P", "W"]
         Pbuf, Wbuf = ud["P"], ud["W"]
         if cache is None:
-            bm = engine.buf_conv(carry, mbuf, mbuf, k, combine=_mm_T2)
-            bp = engine.buf_conv(carry, Pbuf, Pbuf, k, combine=_matmul)
+            # bm/bp terms pair as transposes (P_j symmetric), so the
+            # halved symmetric form applies; bpw (P_i W_{k-i}) does not
+            bm = engine.buf_conv_sym(carry, mbuf, k, combine=_mm_T2)
+            bp = engine.buf_conv_sym(carry, Pbuf, k, combine=_matmul)
             bpw = engine.buf_conv(carry, Pbuf, Wbuf, k, combine=_matmul)
             cache = (bm, bp, bpw)
         bm, bp, bpw = cache
@@ -510,8 +521,8 @@ def _svd_scan_rule(engine, carry, eqn, idx, k, in_k, cache, commit):
             carry, W, PS, k, combine=lambda w_j, ps: _matmul(ps, w_j)
         )
         mb = mb_head + _matmul(ps_part, w0)
-        bu = engine.buf_conv(carry, U, U, k, combine=_T1_mm)
-        bw = engine.buf_conv(carry, W, W, k, combine=_T1_mm)
+        bu = engine.buf_conv_sym(carry, U, k, combine=_T1_mm)
+        bw = engine.buf_conv_sym(carry, W, k, combine=_T1_mm)
         cache = (mb, bu, bw, t_part, ps_part)
     mb, bu, bw, t_part, ps_part = cache
 

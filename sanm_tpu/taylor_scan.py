@@ -204,6 +204,34 @@ class ScanEngine:
             w = w * weight(idx.astype(terms.dtype), k)
         return jnp.tensordot(w, terms, axes=(0, 0))
 
+    def buf_conv_sym(self, carry, buf, k, combine):
+        """``sum_{i=1..k-1} combine(buf[i], buf[k-i])`` for self-
+        convolutions whose terms pair as matrix transposes,
+        ``combine(buf[k-i], buf[i]) == combine(buf[i], buf[k-i])^T``
+        (holds for a^T b and a b^T on any series, and for a @ b when
+        every series term is symmetric, e.g. the polar-factor P series
+        of SVD-W).  Computes only the ``i < k/2`` half over a
+        STATICALLY-halved buffer prefix, mirrors it, and adds the
+        even-``k`` middle term once — mathematically equal to
+        ``buf_conv(buf, buf)`` but with ~half the combine work and
+        buffer reads per order.  That matters in the emulated-f64
+        island, where these convolutions dominate the ARAP per-order
+        step (``ops/svd_w.py:_svd_scan_rule``)."""
+        h = self.N // 2 + 1  # slots 0..h-1 cover every i < k/2, k <= N
+        idx = jnp.arange(h)
+        mask = (idx >= 1) & (2 * idx < k)
+        Bg = jnp.take(buf, jnp.clip(k - idx, 0, self.N), axis=0)
+        terms = jax.vmap(combine)(buf[:h], Bg)
+        C = jnp.tensordot(mask.astype(terms.dtype), terms, axes=(0, 0))
+        res = C + jnp.swapaxes(C, -1, -2)
+        mid_i = k // 2
+        a_mid = jax.lax.dynamic_index_in_dim(
+            buf, mid_i, axis=0, keepdims=False
+        )
+        mid = combine(a_mid, a_mid)
+        even = ((k % 2) == 0) & (mid_i >= 1)
+        return res + jnp.where(even, 1, 0).astype(res.dtype) * mid
+
     def coeff_prev(self, carry, var, i):
         """Dynamic single-order read buf[var][i] (i traced)."""
         return jax.lax.dynamic_index_in_dim(
