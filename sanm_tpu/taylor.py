@@ -370,7 +370,7 @@ class TaylorEngine:
         return outs[0] if len(outs) == 1 else tuple(outs)
 
 
-def promote_island(tfn: TaylorFn, promote_prims):
+def promote_island(tfn: TaylorFn, promote_prims, extend_downstream=True):
     """Precision-island analysis for :func:`cast_taylor_fn`.
 
     Returns ``(island_eqns, island_vars)``: the eqn indices and vars
@@ -433,6 +433,16 @@ def promote_island(tfn: TaylorFn, promote_prims):
     # armadillo-small ARAP: f32-rounded b_k noise (~1e-7 relative) is
     # amplified ~16x per order through A^{-1} and the coefficient tail
     # explodes from a ~1e-6 V-shaped noise floor
+    if not extend_downstream:
+        # A/B knob: seed + upstream closure only.  Measured on the
+        # degenerate-spectrum oracle (scripts/island_scope_ab.py): the
+        # order-k bias error is ~1e-10 with the downstream extension,
+        # ~2-7e-8 without it (one f32 rounding of the bias on its way
+        # to the graph output), ~5e-2 with no island.  That 1e-7-class
+        # floor is exactly the noise measured to stall armadillo ARAP
+        # (amplified ~16x per order through A^{-1}) — the extension is
+        # load-bearing, not belt-and-braces.
+        return island_eqns, island_vars
     ext_prims = (
         _lx.add_p, _lx.sub_p, _lx.neg_p, _lx.mul_p, _lx.div_p,
         _lx.transpose_p, _lx.reshape_p, _lx.broadcast_in_dim_p,
