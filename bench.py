@@ -49,6 +49,43 @@ def run_solve(overrides=()):
     return stat
 
 
+def _probe_backend(timeout_s: int = 240):
+    """Fail fast with a parseable JSON line when the device backend
+    cannot initialize (e.g. the remote axon TPU tunnel is down, in
+    which case every JAX call — even ``jax.devices()`` — blocks
+    forever; observed at the round-3 close when the tunnel relay died
+    host-side).  A healthy tunnel initializes in well under a minute;
+    a hung probe would otherwise stall the whole benchmark harness."""
+    import signal
+    import subprocess
+
+    probe = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import jax; jax.devices(); print('ok')",
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    try:
+        out, _ = probe.communicate(timeout=timeout_s)
+        if "ok" in out:
+            return
+    except subprocess.TimeoutExpired:
+        probe.kill()
+    print(json.dumps({
+        "metric": "warm time_solve Armadillo-small NHC gravity",
+        "value": None,
+        "unit": "s",
+        "vs_baseline": None,
+        "error": "device backend failed to initialize within %ds "
+                 "(TPU tunnel down?) — benchmark not run" % timeout_s,
+    }))
+    sys.exit(1)
+
+
 def main():
     if os.environ.get("SANM_BENCH_BASELINE"):
         # baseline leg: the reference's projected-Newton solver on the
@@ -66,6 +103,7 @@ def main():
         }))
         return
 
+    _probe_backend()
     stat = run_solve()
     t_warm = stat["time_solve_warm"]
 
