@@ -146,3 +146,61 @@ def test_chol_refine_with_blocked_factor():
         L, jnp.asarray(s), data, jnp.asarray(b), asm.matvec, 8
     ))
     assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-11
+
+
+def test_blocked_tri_solve():
+    """Blocked forward/backward substitution vs the dense solve, incl.
+    a size that needs padding."""
+    from sanm_tpu.solver.linear import blocked_cholesky, blocked_chol_solve
+
+    rng = np.random.default_rng(7)
+    for n, block in ((256, 64), (200, 64)):
+        M = rng.standard_normal((n, n))
+        A = M @ M.T + n * np.eye(n)
+        L = blocked_cholesky(jnp.asarray(A), block=block)
+        b = rng.standard_normal(n)
+        x = np.asarray(blocked_chol_solve(L, jnp.asarray(b), block=block))
+        resid = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+        assert resid < 1e-11, (n, block, resid)
+
+
+def test_blocked_chol_sharded_mesh():
+    """Multi-chip direct solve: factorization AND substitutions run
+    with the factor row-sharded over the 8-device mesh — per-device
+    factor memory is n^2/8, extending the single-chip HBM ceiling of
+    ``DeviceCholSolver`` (measured on this toolchain: the blocked
+    forms keep the factor sharded and move one (n, block) panel per
+    step, where a plain ``solve_triangular`` on a sharded L makes
+    GSPMD all-gather the whole factor per solve).  Sharded result must
+    match the unsharded one."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from sanm_tpu.solver.linear import blocked_cholesky, blocked_chol_solve
+
+    n, block = 512, 64
+    rng = np.random.default_rng(9)
+    M = rng.standard_normal((n, n))
+    A = jnp.asarray(M @ M.T + n * np.eye(n))
+    b = jnp.asarray(rng.standard_normal(n))
+
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("d",))
+    shard = NamedSharding(mesh, P("d", None))
+    rep = NamedSharding(mesh, P())
+
+    fac = jax.jit(
+        lambda a: blocked_cholesky(a, block),
+        in_shardings=shard, out_shardings=shard,
+    )
+    sol = jax.jit(
+        lambda l, r: blocked_chol_solve(l, r, block),
+        in_shardings=(shard, rep), out_shardings=rep,
+    )
+    L_sh = fac(jax.device_put(A, shard))
+    assert L_sh.sharding.spec == P("d", None)
+    x_sh = np.asarray(sol(L_sh, b))
+
+    L = blocked_cholesky(A, block)
+    x = np.asarray(blocked_chol_solve(L, b, block))
+    np.testing.assert_allclose(x_sh, x, rtol=1e-10, atol=1e-12)
+    resid = np.linalg.norm(np.asarray(A) @ x_sh - np.asarray(b))
+    assert resid / np.linalg.norm(np.asarray(b)) < 1e-11
