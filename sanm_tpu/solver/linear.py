@@ -368,13 +368,22 @@ def chol_factor(M):
     return jnp.linalg.cholesky(M)
 
 
-def chol_refine_solve(L, s, data, b, matvec, refine_steps: int):
+def chol_refine_solve(L, s, data, b, matvec, refine_steps: int,
+                      tri_solve=None):
     """Solve ``A x = b`` through the f32 Cholesky factor ``L`` of the
     Jacobi-equilibrated, sign-flipped system (see
     :class:`DeviceCholSolver`) with ``refine_steps`` rounds of f64
     iterative refinement against the exact sparse operator ``matvec``.
     Jit-traceable; used both standalone and inside the fused per-order
-    device step of the hybrid loop."""
+    device step of the hybrid loop.
+
+    ``tri_solve(L, rhs)`` overrides the two dense ``solve_triangular``
+    passes — :func:`blocked_chol_solve` keeps a mesh-sharded factor
+    sharded (plain ``solve_triangular`` makes GSPMD all-gather it)."""
+    if tri_solve is None:
+        def tri_solve(Lf, rf):
+            y = jsl.solve_triangular(Lf, rf, lower=True)
+            return jsl.solve_triangular(Lf.T, y, lower=False)
 
     def backsub(r):
         # norm-prescale before the f32 downcast: Taylor RHS norms reach
@@ -382,8 +391,7 @@ def chol_refine_solve(L, s, data, b, matvec, refine_steps: int):
         scale = jnp.linalg.norm(r)
         safe = jnp.where(scale > 0, scale, 1.0)
         rf = ((r / safe) * s).astype(jnp.float32)
-        y = jsl.solve_triangular(L, rf, lower=True)
-        y = jsl.solve_triangular(L.T, y, lower=False)
+        y = tri_solve(L, rf)
         return -(y.astype(r.dtype) * s) * safe
 
     x0 = backsub(b)
@@ -418,13 +426,26 @@ class DeviceCholSolver:
     across a bifurcation)."""
 
     def __init__(self, assembler, data, l2_penalty: float = 0.0,
-                 refine_steps: int = 8):
+                 refine_steps: int = 8, mesh=None, mesh_axis=None):
         sanm_assert(l2_penalty == 0.0,
                     "dense_chol: Tikhonov mode not supported")
         self.assembler = assembler
         self._data = data
         self.n = assembler.n
         self.refine_steps = int(refine_steps)
+        self.mesh = mesh
+
+        shard = None
+        if mesh is not None:
+            # multi-chip mode: the n^2 factor is row-sharded over the
+            # mesh axis (n^2/devices per chip — past one chip's HBM
+            # ceiling); factorization and substitutions use the
+            # blocked panel forms so the factor never moves whole
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            shard = NamedSharding(
+                mesh, PartitionSpec(mesh_axis or mesh.axis_names[0], None)
+            )
 
         def factor(data):
             A = assembler.assemble_dense_from_csr(data.astype(jnp.float32))
@@ -434,7 +455,13 @@ class DeviceCholSolver:
             As = A * s[:, None] * s[None, :]
             # elastic force Jacobian is negative definite at stable
             # states: factor -As (NaN factor <=> indefinite state)
-            L = chol_factor(-As)
+            nAs = -As
+            if shard is not None:
+                nAs = jax.lax.with_sharding_constraint(nAs, shard)
+                L = blocked_cholesky(nAs)
+                L = jax.lax.with_sharding_constraint(L, shard)
+            else:
+                L = chol_factor(nAs)
             return L, s
 
         from ..jit_util import jit_hoist_consts
@@ -442,9 +469,12 @@ class DeviceCholSolver:
         self._factor_jit = jit_hoist_consts(factor)
         self._L, self._s = self._factor_jit(data)
 
+        tri = None if shard is None else blocked_chol_solve
+
         def solve(L, s, data, b):
             return chol_refine_solve(
-                L, s, data, b, assembler.matvec, self.refine_steps
+                L, s, data, b, assembler.matvec, self.refine_steps,
+                tri_solve=tri,
             )
 
         self._solve_jit = jit_hoist_consts(solve)
