@@ -335,7 +335,12 @@ class _ANMDriverBase:
         if getattr(self, "_devfns", None) is not None:
             return self._devfns
         from ..taylor_scan import ScanEngine
-        from .linear import chol_factor, chol_refine_solve
+        from .linear import (
+            blocked_chol_solve,
+            blocked_cholesky,
+            chol_factor,
+            chol_refine_solve,
+        )
 
         asm = self._assembler()
         order = self.hp.order
@@ -344,6 +349,21 @@ class _ANMDriverBase:
         in_dt = tfn_pass.jaxpr.invars[0].aval.dtype
         n = self.n
         sanity = self.hp.sanity_check and not self.hp.xcoeff_l2_penalty
+
+        # multi-chip: when the driver runs element-sharded over a mesh
+        # (ElemSharding), the dense factor is row-sharded over the same
+        # devices and the substitutions use the blocked panel forms —
+        # per-chip factor memory n^2/devices instead of a replicated
+        # n^2 (see solver/linear.py blocked_tri_solve_*)
+        fact_sharding = None
+        mesh = getattr(self._shard, "mesh", None)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            fact_sharding = NamedSharding(
+                mesh, PartitionSpec(self._shard.axis_name, None)
+            )
+        tri_solve = None if fact_sharding is None else blocked_chol_solve
 
         def factor(data):
             A = asm.assemble_dense_from_csr(data.astype(jnp.float32))
@@ -354,13 +374,21 @@ class _ANMDriverBase:
             # elastic force Jacobian is negative definite at stable
             # states (A = -K): factor -As; a NaN diagonal flags an
             # indefinite state and the caller falls back to host LU
-            L = chol_factor(-As)
+            nAs = -As
+            if fact_sharding is not None:
+                nAs = jax.lax.with_sharding_constraint(nAs, fact_sharding)
+                L = jax.lax.with_sharding_constraint(
+                    blocked_cholesky(nAs), fact_sharding
+                )
+            else:
+                L = chol_factor(nAs)
             ok = jnp.isfinite(jnp.diagonal(L)).all()
             return L, s, ok
 
         def order1(L, s, E, grad_t, xt0):
             xgt = chol_refine_solve(
-                L, s, E, grad_t, asm.element_matvec, refine_steps
+                L, s, E, grad_t, asm.element_matvec, refine_steps,
+                tri_solve=tri_solve,
             )
             t1 = 1.0 / jnp.sqrt(jnp.vdot(xgt, xgt) + 1.0)
             x1 = -t1 * xgt
@@ -376,7 +404,8 @@ class _ANMDriverBase:
             (``element_matvec``): 6x less gather/scatter index traffic
             than the COO matvec — TPU gathers move at scalar speed."""
             xb = chol_refine_solve(
-                L, s, E, b, asm.element_matvec, refine_steps
+                L, s, E, b, asm.element_matvec, refine_steps,
+                tri_solve=tri_solve,
             )
             tk = jnp.vdot(xb, x1) / denom
             xk = -tk * xgt - xb

@@ -61,3 +61,30 @@ def test_sharded_solve_matches_unsharded(em):
     with shard.mesh:
         got = solve(body, f_load, em, shard=shard)
     require_tensor_eq(got, ref, 1e-9, msg="sharded vs unsharded")
+
+
+def test_sharded_dense_chol_matches_unsharded():
+    """solver=dense_chol under the element mesh: the devloop row-shards
+    the dense factor over the same devices and substitutes through the
+    blocked panel solves (multi-chip direct solve); result must match
+    the unsharded dense_chol solve."""
+    body, f_load = make_problem()
+
+    def solve_chol(shard=None):
+        model = body.make_forward(EnergyModel.NEOHOOKEAN_C)
+        f_sub = model.lt_inp.copy_vtx_values(f_load)
+        hp = EqnHyperParam(order=6, use_pade=True, solver="dense_chol")
+        hp.converge_rms = RMS_THRESH_FORCE_EQU
+        s = ANMEqnSolver(
+            model.fn, model.lt_inp.remap, model.lt_out.remap, model.x0(),
+            f_sub, hp, shard_elems=shard,
+        )
+        out = np.asarray(run_anm_eqn(s, progress=False))
+        assert s._loop_mode() == "hybrid" and s._solver_mode() == "dense_chol"
+        return out
+
+    ref = solve_chol()
+    shard = ElemSharding(jax.devices()[:8])
+    with shard.mesh:
+        got = solve_chol(shard=shard)
+    require_tensor_eq(got, ref, 1e-9, msg="sharded dense_chol")
