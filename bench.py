@@ -56,25 +56,11 @@ def _probe_backend(timeout_s: int = 240):
     forever; observed at the round-3 close when the tunnel relay died
     host-side).  A healthy tunnel initializes in well under a minute;
     a hung probe would otherwise stall the whole benchmark harness."""
-    import signal
-    import subprocess
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sanm_tpu.utils import probe_backend
 
-    probe = subprocess.Popen(
-        [
-            sys.executable,
-            "-c",
-            "import jax; jax.devices(); print('ok')",
-        ],
-        stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL,
-        text=True,
-    )
-    try:
-        out, _ = probe.communicate(timeout=timeout_s)
-        if "ok" in out:
-            return
-    except subprocess.TimeoutExpired:
-        probe.kill()
+    if probe_backend(timeout_s):
+        return
     print(json.dumps({
         "metric": "warm time_solve Armadillo-small NHC gravity",
         "value": None,

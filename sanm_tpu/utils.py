@@ -248,3 +248,27 @@ class Xorshift128pRng:
 
     def uniform(self, lo: float = 0.0, hi: float = 1.0) -> float:
         return lo + (hi - lo) * (self.next_u64() >> 11) / float(1 << 53)
+
+
+def probe_backend(timeout_s: int = 240) -> bool:
+    """True when a JAX backend can initialize in a subprocess within
+    ``timeout_s``.  A dead remote-TPU tunnel makes every JAX call —
+    even ``jax.devices()`` — block forever (observed when the axon
+    relay died host-side); harness entry points call this first so a
+    broken device surfaces as a clear error instead of a hang."""
+    import subprocess
+    import sys
+
+    probe = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax; jax.devices(); print('ok')"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    try:
+        out, _ = probe.communicate(timeout=timeout_s)
+        return "ok" in out
+    except subprocess.TimeoutExpired:
+        probe.kill()
+        return False

@@ -142,6 +142,17 @@ def main():
     if args.platform:
         extra_env["SANM_PLATFORM"] = args.platform
 
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from sanm_tpu.utils import probe_backend
+
+    # only the default (remote-device) backend can hang; an explicit
+    # --platform cpu run never touches the tunnel
+    if not args.platform and not probe_backend():
+        print("run_experiments: device backend failed to initialize "
+              "(TPU tunnel down?) — aborting instead of hanging per cell",
+              file=sys.stderr)
+        sys.exit(2)
+
     ok = True
     for mesh in args.meshes:
         for energy in args.energies:
