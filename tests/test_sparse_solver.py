@@ -264,3 +264,33 @@ def test_device_chol_mesh_matches_single():
             np.asarray(asm.matvec(data, jnp.asarray(x_got))) - np.asarray(b)
         ) / (np.linalg.norm(np.asarray(b)) + 1e-300)
         assert resid < 1e-10, (scale, resid)
+
+
+def test_implicit_solver_dense_chol():
+    """The implicit driver's grad_t path through the fully
+    device-resident devloop: f is chosen with a negative-definite
+    Jacobian (the elastic convention dense_chol factors, A = -K), and
+    ``_fact_dev`` confirms the devloop factored on-device rather than
+    silently taking the indefinite-state host-LU fallback."""
+    batch = 5
+    rng = np.random.default_rng(2)
+    x0 = rng.uniform(1.0, 2.0, batch)
+    dx = rng.uniform(-2.0, -1.0, batch)
+    rows = [[(i, 1.0), (batch, float(dx[i]))] for i in range(batch)]
+    rin = LinearRemap(rows, batch + 1, (batch,))
+    rout = LinearRemap.identity(batch)
+    solver = ANMImplicitSolver(
+        lambda x: -(x**1.5), rin, rout, x0, 0.0,
+        HyperParam(solver="dense_chol"),
+    )
+    it = 0
+    while solver.get_t_upper() < 1.0:
+        it += 1
+        assert it < 20
+        solver.update_approx()
+    assert solver._fact_dev is not None, "devloop never factored"
+    xt, t = solver.eval(solver.solve_a(1.0))
+    require_tensor_eq(
+        (np.asarray(xt) + dx) ** 1.5, x0**1.5, 1e-4,
+        msg="implicit dense_chol",
+    )
