@@ -225,6 +225,38 @@ class _ANMDriverBase:
             )
         return self._tfn32
 
+    def _two_level_split(self, tfn_pass):
+        """Stage boundary for the two-level order loop, or None.
+
+        The per-order convolutions read the full (cap+1)-slot history
+        window regardless of k (taylor_scan masked-window design), so
+        running orders <= N/2 on a half-capacity engine halves their
+        cost for the first half of the expansion — ~25% of total conv
+        work (measured linear in buffer length: 2.60 ms at 11 slots vs
+        5.63 ms at 21, B=8192, CPU).  The price is one extra compiled
+        step program, so by default ("auto") it is enabled only for
+        svd-bearing graphs, where the emulated-f64 island convolutions
+        dominate the per-order step (~0.68 s at 42k tets for ARAP vs
+        ~0.06 s for Neo-Hookean).  ``SANM_TWO_LEVEL=1`` forces it on
+        for every graph, ``0`` disables it."""
+        import os
+
+        env = os.environ.get("SANM_TWO_LEVEL", "auto")
+        if env == "0":
+            return None
+        order = self.hp.order
+        if order < 8:
+            return None
+        if env != "1":
+            from ..ops.svd_w import svd_w_p
+
+            if not any(
+                eqn.primitive is svd_w_p
+                for _, eqn, _ in tfn_pass.live_eqns
+            ):
+                return None
+        return order // 2
+
     def _hybrid_fns(self):
         if getattr(self, "_hyb", None) is not None:
             return self._hyb
@@ -233,6 +265,7 @@ class _ANMDriverBase:
         order = self.hp.order
         pdt = self._pass_dtype()
         tfn_pass = self._pass_tfn(pdt)
+        split = self._two_level_split(tfn_pass)
         mixed = tfn_pass is not self.tfn
         asm = self._assembler()
         # graph-input dtype: f64 when the input feeds an f64 precision
@@ -255,40 +288,35 @@ class _ANMDriverBase:
                 gt_asm = jnp.zeros((self.n,), xt0.dtype)
             return data, gt_asm, E
 
-        def bias_fn(carry, aux, k):
-            seng = ScanEngine.from_aux(tfn_pass, order, aux)
-            b_out, caches = seng.order_bias(carry, k)
-            if b_out is None:
-                oav = tfn_pass.jaxpr.outvars[0].aval
-                b_out = jnp.zeros(oav.shape, oav.dtype)
-            return (
-                asm.apply_out(b_out).astype(jnp.float64),
-                caches,
-            )
+        def step_for(cap):
+            def step_fn(carry, aux, k, xt_k, caches):
+                """Fused commit(k) + bias(k+1): one device dispatch per
+                order.  The remaps run in their element-condensed MXU
+                form (``SparseAssembler.apply_in/apply_out``): the
+                padded-gather form of ``LinearRemap.apply`` on the wide
+                force-output remap measured 109 ms/order at 42k tets
+                (TPU gathers are scalar)."""
+                seng = ScanEngine.from_aux(tfn_pass, order, aux, cap=cap)
+                gin = asm.apply_in(xt_k, in_dt)
+                carry = seng.push(carry, k, gin, caches)
+                b_out, caches2 = seng.order_bias(carry, k + 1)
+                if b_out is None:
+                    oav = tfn_pass.jaxpr.outvars[0].aval
+                    b_out = jnp.zeros(oav.shape, oav.dtype)
+                return (
+                    carry,
+                    asm.apply_out(b_out).astype(jnp.float64),
+                    caches2,
+                )
 
-        def commit_fn(carry, aux, k, xt_k, caches):
-            seng = ScanEngine.from_aux(tfn_pass, order, aux)
-            gin = asm.apply_in(xt_k, in_dt)
-            return seng.push(carry, k, gin, caches)
+            return step_fn
 
-        def step_fn(carry, aux, k, xt_k, caches):
-            """Fused commit(k) + bias(k+1): one device dispatch per order.
-            The remaps run in their element-condensed MXU form
-            (``SparseAssembler.apply_in/apply_out``): the padded-gather
-            form of ``LinearRemap.apply`` on the wide force-output remap
-            measured 109 ms/order at 42k tets (TPU gathers are scalar)."""
-            seng = ScanEngine.from_aux(tfn_pass, order, aux)
-            gin = asm.apply_in(xt_k, in_dt)
-            carry = seng.push(carry, k, gin, caches)
-            b_out, caches2 = seng.order_bias(carry, k + 1)
-            if b_out is None:
-                oav = tfn_pass.jaxpr.outvars[0].aval
-                b_out = jnp.zeros(oav.shape, oav.dtype)
-            return (
-                carry,
-                asm.apply_out(b_out).astype(jnp.float64),
-                caches2,
-            )
+        step_fn = step_for(None)
+
+        def promote(carry):
+            from ..taylor_scan import promote_carry
+
+            return promote_carry(carry, order)
 
         def prepare_light(xt0):
             """Order-0 restart WITHOUT Jacobian/assembly — used when the
@@ -298,7 +326,7 @@ class _ANMDriverBase:
             eng_p.start(gin0.astype(in_dt) if mixed else gin0)
             if eng_p.order_bias() is not None:
                 raise SANMError("order-1 bias must be structurally zero")
-            seng = ScanEngine(eng_p, order)
+            seng = ScanEngine(eng_p, order, cap=split)
             return seng.init_carry(), seng.pack_aux()
 
         # jit_hoist_consts (not jax.jit): these functions close over the
@@ -308,10 +336,20 @@ class _ANMDriverBase:
         # dominated the cold solve
         from ..jit_util import jit_hoist_consts
 
+        self._hyb_split = split
         self._hyb = (
             jit_hoist_consts(jac_asm),
-            jit_hoist_consts(bias_fn),
-            jit_hoist_consts(commit_fn),
+            # two-level loop: half-capacity step for orders k <= split,
+            # promote pads the carry at the boundary (see
+            # _two_level_split / taylor_scan.promote_carry)
+            None
+            if split is None
+            else jit_hoist_consts(
+                step_for(split), donate_argnums=(0, 4)
+            ),
+            # promote is not donated: the padded output is strictly
+            # larger than the input, so XLA could not reuse the buffer
+            None if split is None else jit_hoist_consts(promote),
             # donate the carry (arg 0) and caches (arg 4): the history
             # buffers are ~(N+1) x batch x inner and would otherwise be
             # copied on every per-order dispatch — measured 0.18 s/order
@@ -419,21 +457,25 @@ class _ANMDriverBase:
                 diag = diag.at[k].set(jnp.linalg.norm(resid) / scale)
             return xt_k, XT, diag
 
-        def fused(L, s, E, carry, aux, k, b, caches, xgt, x1, denom,
-                  grad_t, XT, diag):
-            """solve(k) + commit(k) + bias(k+1): one dispatch per order."""
-            xt_k, XT, diag = solve_rec(
-                L, s, E, b, xgt, x1, denom, grad_t, k, XT, diag
-            )
-            seng = ScanEngine.from_aux(tfn_pass, order, aux)
-            gin = asm.apply_in(xt_k, in_dt)
-            carry = seng.push(carry, k, gin, caches)
-            b2, caches2 = seng.order_bias(carry, k + 1)
-            if b2 is None:
-                oav = tfn_pass.jaxpr.outvars[0].aval
-                b2 = jnp.zeros(oav.shape, oav.dtype)
-            b2 = asm.apply_out(b2).astype(jnp.float64)
-            return carry, caches2, b2, XT, diag
+        def fused_for(cap):
+            def fused(L, s, E, carry, aux, k, b, caches, xgt, x1, denom,
+                      grad_t, XT, diag):
+                """solve(k) + commit(k) + bias(k+1): one dispatch per
+                order."""
+                xt_k, XT, diag = solve_rec(
+                    L, s, E, b, xgt, x1, denom, grad_t, k, XT, diag
+                )
+                seng = ScanEngine.from_aux(tfn_pass, order, aux, cap=cap)
+                gin = asm.apply_in(xt_k, in_dt)
+                carry = seng.push(carry, k, gin, caches)
+                b2, caches2 = seng.order_bias(carry, k + 1)
+                if b2 is None:
+                    oav = tfn_pass.jaxpr.outvars[0].aval
+                    b2 = jnp.zeros(oav.shape, oav.dtype)
+                b2 = asm.apply_out(b2).astype(jnp.float64)
+                return carry, caches2, b2, XT, diag
+
+            return fused
 
         def last(L, s, E, b, xgt, x1, denom, grad_t, XT, diag):
             _, XT, diag = solve_rec(
@@ -443,11 +485,17 @@ class _ANMDriverBase:
 
         from ..jit_util import jit_hoist_consts
 
+        split = self._two_level_split(tfn_pass)
         self._devfns = (
             jit_hoist_consts(factor),
             jit_hoist_consts(order1),
-            jit_hoist_consts(fused, donate_argnums=(3, 7, 12, 13)),
+            jit_hoist_consts(fused_for(None), donate_argnums=(3, 7, 12, 13)),
             jit_hoist_consts(last, donate_argnums=(8, 9)),
+            None
+            if split is None
+            else jit_hoist_consts(
+                fused_for(split), donate_argnums=(3, 7, 12, 13)
+            ),
         )
         return self._devfns
 
@@ -456,10 +504,11 @@ class _ANMDriverBase:
         stiffness is indefinite (caller falls back to host LU)."""
         hp = self.hp
         n = self.n
-        jac_asm, bias_fn, commit_fn, step_fn, prepare_light = (
+        jac_asm, step_small, promote, step_fn, prepare_light = (
             self._hybrid_fns()
         )
-        factor, order1, fused, last = self._devloop_fns()
+        split = self._hyb_split
+        factor, order1, fused, last, fused_small = self._devloop_fns()
         xt0 = jnp.asarray(xt0_np)
         ncmp = n + 1 if self.is_implicit else n
         fact = getattr(self, "_fact_dev", None)
@@ -496,10 +545,14 @@ class _ANMDriverBase:
             xgt, x1, denom, xt1, XT = order1(L, s, E, grad_t, xt0)
         diag = jnp.zeros((hp.order + 1,), jnp.float64)
         with ScopedProfiler("order_step", block=True):
-            carry, b_dev, caches = step_fn(carry, aux, 1, xt1, None)
+            step1 = step_fn if split is None else step_small
+            carry, b_dev, caches = step1(carry, aux, 1, xt1, None)
         for k in range(2, hp.order):
             with ScopedProfiler("order_step_dev"):
-                carry, caches, b_dev, XT, diag = fused(
+                if split is not None and k == split + 1:
+                    carry = promote(carry)
+                f = fused if split is None or k > split else fused_small
+                carry, caches, b_dev, XT, diag = f(
                     L, s, E, carry, aux, jnp.asarray(k), b_dev,
                     caches, xgt, x1, denom, grad_t, XT, diag,
                 )
@@ -525,9 +578,10 @@ class _ANMDriverBase:
                 return out
             if verbose_mode():
                 print("dense_chol: indefinite stiffness; host-LU fallback")
-        jac_asm, bias_fn, commit_fn, step_fn, prepare_light = (
+        jac_asm, step_small, promote, step_fn, prepare_light = (
             self._hybrid_fns()
         )
+        split = self._hyb_split
         asm = self._assembler()
         xt0 = jnp.asarray(xt0_np)
         pen = hp.xcoeff_l2_penalty
@@ -618,7 +672,8 @@ class _ANMDriverBase:
         sanity = hp.sanity_check and not pen
         # fused loop: one device dispatch (commit k + bias k+1) per order
         with ScopedProfiler("order_step", block=True):
-            carry, b_dev, caches = step_fn(
+            step1 = step_fn if split is None else step_small
+            carry, b_dev, caches = step1(
                 carry, aux, 1, jnp.asarray(coeffs[1]), None
             )
         for k in range(2, hp.order + 1):
@@ -637,7 +692,14 @@ class _ANMDriverBase:
                     diag.append(np.linalg.norm(resid) / scale)
             if k < hp.order:
                 with ScopedProfiler("order_step", block=True):
-                    carry, b_dev, caches = step_fn(
+                    if split is not None and k == split + 1:
+                        carry = promote(carry)
+                    step = (
+                        step_fn
+                        if split is None or k > split
+                        else step_small
+                    )
+                    carry, b_dev, caches = step(
                         carry, aux, k, jnp.asarray(coeffs[k]), caches
                     )
         return coeffs, np.asarray(diag)
@@ -858,11 +920,13 @@ class _ANMDriverBase:
                     # reference's restarts (libsanm/anm.cpp:464-491)
                     self._dtype_override = "f64"
                     self._hyb = None
+                    self._devfns = None
                     try:
                         self._expand_and_check()
                     finally:
                         self._dtype_override = None
                         self._hyb = None
+                        self._devfns = None
                 else:
                     raise
         self._iter += 1

@@ -55,8 +55,8 @@ class ScanEngine:
         carry = eng.push(carry, k, x_k, caches)
     """
 
-    def __init__(self, plain_engine, order: int):
-        self._static_init(plain_engine.tfn, order)
+    def __init__(self, plain_engine, order: int, cap: int | None = None):
+        self._static_init(plain_engine.tfn, order, cap)
         self.eqn_out0 = plain_engine.eqn_out0
         self._env0 = plain_engine._env0
 
@@ -65,7 +65,7 @@ class ScanEngine:
         for v in self.hist_vars:
             h = plain_engine.hist[v]
             v0 = h[0]
-            buf = jnp.zeros((self.N + 1,) + v0.shape, v0.dtype)
+            buf = jnp.zeros((self.cap + 1,) + v0.shape, v0.dtype)
             for i, hv in enumerate(h):
                 if hv is not None:
                     buf = buf.at[i].set(hv)
@@ -78,17 +78,30 @@ class ScanEngine:
         for idx, eqn, _ in self.tfn.live_eqns:
             if idx not in plain_engine.userdata:
                 continue
-            spec, flats = _stack_userdata(plain_engine.userdata[idx], self.N)
+            spec, flats = _stack_userdata(
+                plain_engine.userdata[idx], self.cap
+            )
             self._ud_spec[idx] = (len(ud_bufs), spec)
             ud_bufs.extend(flats)
         self._init_ud = ud_bufs
 
-    def _static_init(self, tfn: TaylorFn, order: int):
+    def _static_init(self, tfn: TaylorFn, order: int, cap: int | None = None):
         """Trace-independent structure (shared by the live-trace and the
-        aux-reconstruction constructors)."""
+        aux-reconstruction constructors).
+
+        ``cap`` is the history-buffer capacity (highest stored order):
+        buffers are ``(cap + 1, ...)`` and the masked convolution windows
+        run over ``cap + 1`` slots.  An engine with ``cap < order`` is a
+        *stage* engine, valid for ``push`` at k <= cap and ``order_bias``
+        at k <= cap + 1 — the two-level order loop runs orders <= N/2 on
+        a half-capacity engine (half the convolution work per order,
+        ~25% of total conv cost; the window is read in full every order
+        regardless of k), then pads the carry to full capacity
+        (``promote_carry``) and finishes on the full engine."""
         self.tfn = tfn
         self.jaxpr = tfn.jaxpr
         self.N = int(order)
+        self.cap = self.N if cap is None else int(cap)
         self._const_vars = set(self.jaxpr.constvars)
         self._ud_spec = {}
         # deterministic var ordering: constvars, invars, live outvars
@@ -116,10 +129,10 @@ class ScanEngine:
         return (env0, out0)
 
     @classmethod
-    def from_aux(cls, tfn: TaylorFn, order: int, aux):
+    def from_aux(cls, tfn: TaylorFn, order: int, aux, cap: int | None = None):
         """Rebuild from packed aux (inside another jit trace)."""
         self = cls.__new__(cls)
-        self._static_init(tfn, order)
+        self._static_init(tfn, order, cap)
         env0, out0 = aux
         self._env0 = dict(zip(self._env0_vars, env0))
         self.eqn_out0 = {
@@ -168,7 +181,7 @@ class ScanEngine:
         return carry[0][self._hist_index[var]]
 
     def _mask(self, k, lo=1):
-        idx = jnp.arange(self.N + 1)
+        idx = jnp.arange(self.cap + 1)
         return idx, (idx >= lo) & (idx <= k - 1)
 
     def pair_conv(
@@ -181,7 +194,7 @@ class ScanEngine:
         A = self.buf(carry, a_var)
         Bb = self.buf(carry, b_var)
         idx, mask = self._mask(k, lo)
-        Bg = jnp.take(Bb, jnp.clip(k - idx, 0, self.N), axis=0)
+        Bg = jnp.take(Bb, jnp.clip(k - idx, 0, self.cap), axis=0)
         if combine is None:
             terms = A * Bg
         else:
@@ -195,7 +208,7 @@ class ScanEngine:
                  weight=None):
         """Like pair_conv but on explicit (N+1, ...) buffers."""
         idx, mask = self._mask(k, lo)
-        Bg = jnp.take(bufB, jnp.clip(k - idx, 0, self.N), axis=0)
+        Bg = jnp.take(bufB, jnp.clip(k - idx, 0, self.cap), axis=0)
         terms = (bufA * Bg) if combine is None else jax.vmap(combine)(
             bufA, Bg
         )
@@ -217,10 +230,10 @@ class ScanEngine:
         buffer reads per order.  That matters in the emulated-f64
         island, where these convolutions dominate the ARAP per-order
         step (``ops/svd_w.py:_svd_scan_rule``)."""
-        h = self.N // 2 + 1  # slots 0..h-1 cover every i < k/2, k <= N
+        h = self.cap // 2 + 1  # slots 0..h-1 cover every i < k/2, k <= cap+1
         idx = jnp.arange(h)
         mask = (idx >= 1) & (2 * idx < k)
-        Bg = jnp.take(buf, jnp.clip(k - idx, 0, self.N), axis=0)
+        Bg = jnp.take(buf, jnp.clip(k - idx, 0, self.cap), axis=0)
         terms = jax.vmap(combine)(buf[:h], Bg)
         C = jnp.tensordot(mask.astype(terms.dtype), terms, axes=(0, 0))
         res = C + jnp.swapaxes(C, -1, -2)
@@ -301,6 +314,24 @@ class ScanEngine:
             xks = [xks]
         outs, new_carry = self._run(carry, k, list(xks), caches, True)
         return new_carry
+
+
+def promote_carry(carry, new_cap: int):
+    """Pad a stage engine's carry (history + userdata buffers, all
+    stacked per-order along axis 0) to ``new_cap + 1`` slots with zeros.
+    The two-level order loop calls this once, at the stage boundary
+    k = N//2, before switching to the full-capacity step program."""
+
+    def pad(b):
+        extra = new_cap + 1 - b.shape[0]
+        if extra <= 0:
+            return b
+        return jnp.concatenate(
+            [b, jnp.zeros((extra,) + b.shape[1:], b.dtype)], axis=0
+        )
+
+    bufs, ud = carry
+    return (tuple(pad(b) for b in bufs), tuple(pad(b) for b in ud))
 
 
 def _static_ud_spec(tfn, idx, eqn, outs_used):

@@ -99,7 +99,8 @@ def main():
     drv.eqn_y = np.asarray(f_sub).reshape(-1)
     xt0 = jnp.asarray(np.concatenate([model.x0(), [0.0]]))
 
-    jac_asm, bias_fn, commit_fn, step_fn, prepare_light = drv._hybrid_fns()
+    jac_asm, step_small, promote, step_fn, prepare_light = drv._hybrid_fns()
+    split = drv._hyb_split
     asm = drv._assembler()
     pdt = drv._pass_dtype()
     tfn_pass = drv._pass_tfn(pdt)
@@ -123,21 +124,49 @@ def main():
     t, _ = timed(lambda: asm.apply_out(bfake), reps=20)
     rows["apply_out (contract+scatter-add)"] = t
 
-    # fused per-order step (donates carry: rebuild each reading)
-    carry2, b_dev, caches = step_fn(carry, aux, 1, xt1, None)
+    # fused per-order step (donates carry: rebuild each reading); with
+    # the two-level loop active, time each stage program on its own
+    # capacity and report the per-order average over a full expansion
+    step1 = step_fn if split is None else step_small
+    carry2, b_dev, caches = step1(carry, aux, 1, xt1, None)
     jax.block_until_ready(b_dev)
+    if split is not None:
+        t0 = time.perf_counter()
+        reps = 0
+        k = 2
+        while reps < 10:
+            carry2, b_dev, caches = step_small(
+                carry2, aux, min(k, split), xt1, caches
+            )
+            k += 1
+            reps += 1
+        jax.block_until_ready(b_dev)
+        small_t = (time.perf_counter() - t0) / reps
+        rows["step_small (half-capacity, per order)"] = small_t
+        carry2 = promote(carry2)
+        kmin, kmax = split + 1, order - 1
+    else:
+        small_t = None
+        kmin, kmax = 2, order - 1
     t0 = time.perf_counter()
     reps = 0
-    k = 2
+    k = kmin
     while reps < 10:
         carry2, b_dev, caches = step_fn(
-            carry2, aux, min(k, order - 1), xt1, caches
+            carry2, aux, min(k, kmax), xt1, caches
         )
         k += 1
         reps += 1
     jax.block_until_ready(b_dev)
     step_t = (time.perf_counter() - t0) / reps
     rows["step_fn (fused commit+bias, per order)"] = step_t
+    if small_t is not None:
+        # per-order average over orders 1..order-1 of the full loop
+        n_small = split  # orders 1..split
+        n_full = order - 1 - split
+        rows["step_avg (two-level, per order)"] = (
+            n_small * small_t + n_full * step_t
+        ) / (n_small + n_full)
 
     # traffic model: every hist/userdata buffer is read across its
     # (N+1) window per order plus written once

@@ -37,6 +37,7 @@ def _rng_buf(rng, symmetric=False):
 def _mini_engine():
     eng = ScanEngine.__new__(ScanEngine)
     eng.N = N
+    eng.cap = N
     return eng
 
 

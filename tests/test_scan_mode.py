@@ -55,6 +55,47 @@ def test_scan_matches_unroll(em):
     )
 
 
+def test_two_level_matches_single_level():
+    """The two-level order loop (half-capacity step for k <= N/2, carry
+    promoted at the boundary; anm._two_level_split) must reproduce the
+    single-level hybrid loop exactly.  Forced on via SANM_TWO_LEVEL=1 so
+    a non-svd graph takes the staged path too; exercises both the
+    host-LU hybrid loop and the dense_chol devloop."""
+    import os
+
+    body, f = _problem()
+    sols = {}
+    for name, env, solver in (
+        ("base", "0", "host_lu"),
+        ("two_level", "1", "host_lu"),
+        ("two_level_dev", "1", "dense_chol"),
+    ):
+        os.environ["SANM_TWO_LEVEL"] = env
+        try:
+            model = body.make_forward(EnergyModel.NEOHOOKEAN_C)
+            fl = model.lt_inp.copy_vtx_values(f)
+            hp = EqnHyperParam(
+                order=9, use_pade=True, loop="hybrid", solver=solver
+            )
+            hp.converge_rms = 1e-10
+            s = ANMEqnSolver(
+                model.fn, model.lt_inp.remap, model.lt_out.remap,
+                model.x0(), fl, hp,
+            )
+            if env == "1":
+                assert s._two_level_split(s.tfn) == 4
+            sols[name] = np.asarray(run_anm_eqn(s, progress=False))
+        finally:
+            del os.environ["SANM_TWO_LEVEL"]
+    require_tensor_eq(
+        sols["two_level"], sols["base"], 1e-10, msg="two-level hybrid"
+    )
+    require_tensor_eq(
+        sols["two_level_dev"], sols["base"], 1e-8,
+        msg="two-level dense_chol devloop",
+    )
+
+
 def test_scan_implicit_solver():
     # implicit continuation (grad_t path) under scan, incl. pow chain
     batch = 5
