@@ -250,14 +250,19 @@ def blocked_cholesky(A, block: int = 2048):
     ``jnp.linalg.cholesky`` materializes ~3 full n^2 buffers (input,
     workspace, output), which caps :class:`DeviceCholSolver` at n~25k
     on a 16 GB chip.  This version runs a ``fori_loop`` over column
-    panels carrying ONE (n, n) buffer: per-step peak = the carry plus
-    the trailing-update product.  The trailing update is a full-width
-    masked matmul — 3x the FLOPs of a shrinking update, but the static
-    shapes keep it on the MXU (at n=41k ~7e13 f32 FLOPs, i.e. seconds
-    on a v5e, comparable to the host splu it replaces while removing
-    every per-order host crossing).  Only the lower triangle of the
-    result is meaningful.  NaNs from an indefinite input propagate to
-    the factor (callers detect via ``isfinite`` on the diagonal)."""
+    panels carrying ONE (n, n) buffer, with the trailing update applied
+    one (block, n) row panel at a time: per-step peak = the carry plus
+    two (block, n) panels (~0.7 GB at n=43k/block=2048).  An earlier
+    form computed the update as one full-width masked matmul, whose
+    (n, n) f32 product buffer put the peak at 2x the carry — measured
+    OOM at n=41k (armadillo: 7.4 GB carry + 7.4 GB product + ~2.2 GB
+    triangular-solve panel temps > 16 GB HBM).  The row-panel matmuls
+    are still full-width (static shapes, MXU-friendly): ~n^3/2 f32
+    FLOPs at n=41k (~4e13), i.e. seconds on a v5e, comparable to the
+    host splu it replaces while removing every per-order host
+    crossing.  Only the lower triangle of the result is meaningful.
+    NaNs from an indefinite input propagate to the factor (callers
+    detect via ``isfinite`` on the diagonal)."""
     n = A.shape[0]
     nb = -(-n // block)
     npad = nb * block
@@ -277,7 +282,19 @@ def blocked_cholesky(A, block: int = 2048):
         T = jsl.solve_triangular(Ljj, Pcol.T, lower=True).T
         below = rows >= c0 + block
         Tm = jnp.where(below[:, None], T, 0.0)
-        A = A - jnp.matmul(Tm, Tm.T, precision="highest")
+
+        # trailing update A -= Tm Tm^T by row panels; panels i <= j are
+        # all-zero rows of Tm (masked above), so start at j + 1.  The
+        # product's nonzero rows AND columns both sit at >= c0 + block,
+        # so finalized L panels (columns < c0) are untouched.
+        def row_update(i, A):
+            r0 = i * block
+            Trow = lax.dynamic_slice(Tm, (r0, 0), (block, block))
+            upd = jnp.matmul(Trow, Tm.T, precision="highest")
+            Arow = lax.dynamic_slice(A, (r0, 0), (block, npad))
+            return lax.dynamic_update_slice(A, Arow - upd, (r0, 0))
+
+        A = lax.fori_loop(j + 1, nb, row_update, A)
         A = lax.dynamic_update_slice(A, Tm, (0, c0))
         A = lax.dynamic_update_slice(A, Ljj, (c0, c0))
         return A

@@ -111,7 +111,7 @@ def main():
 
     rows = {}
 
-    t, (data, gt) = timed(jac_asm, xt0, reps=3)
+    t, (data, gt, _E) = timed(jac_asm, xt0, reps=3)
     rows["jac_asm (Jacobian+CSR assembly)"] = t
     t, (carry, aux) = timed(prepare_light, xt0, reps=3)
     rows["prepare_light (order-0/1 engine init)"] = t
