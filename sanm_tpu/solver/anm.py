@@ -404,15 +404,15 @@ class _ANMDriverBase:
         tri_solve = None if fact_sharding is None else blocked_chol_solve
 
         def factor(data):
-            A = asm.assemble_dense_from_csr(data.astype(jnp.float32))
-            A = 0.5 * (A + A.T)
-            d = jnp.abs(jnp.diagonal(A))
-            s = jax.lax.rsqrt(jnp.where(d > 0, d, 1.0))
-            As = A * s[:, None] * s[None, :]
-            # elastic force Jacobian is negative definite at stable
-            # states (A = -K): factor -As; a NaN diagonal flags an
-            # indefinite state and the caller falls back to host LU
-            nAs = -As
+            # -(D A D) assembled straight into the (padded) factor
+            # buffer: the elastic force Jacobian is negative definite
+            # at stable states (A = -K), so -As is SPD; a NaN diagonal
+            # flags an indefinite state and the caller falls back to
+            # host LU.  assemble_dense_scaled_neg documents why the
+            # dense symmetrize/scale chain was replaced (OOM at n=41k).
+            from .linear import chol_pad_n
+
+            nAs, s = asm.assemble_dense_scaled_neg(data, chol_pad_n(n))
             if fact_sharding is not None:
                 nAs = jax.lax.with_sharding_constraint(nAs, fact_sharding)
                 L = jax.lax.with_sharding_constraint(

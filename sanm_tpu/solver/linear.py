@@ -357,15 +357,18 @@ def blocked_tri_solve_upper_T(L, y, block: int = 2048):
 def blocked_chol_solve(L, b, block: int = 2048):
     """``(L L^T)^{-1} b`` through the blocked substitutions; the
     mesh-sharding-friendly counterpart of the two ``solve_triangular``
-    calls in :func:`chol_refine_solve`'s backsub.  Pads ``L``/``b`` to
-    a ``block`` multiple (unit diagonal / zeros) when needed."""
+    calls in :func:`chol_refine_solve`'s backsub.  Accepts a factor
+    already padded to a ``block`` multiple (the :func:`chol_pad_n`
+    convention — no n^2 copy); otherwise pads ``L``/``b`` here (unit
+    diagonal / zeros)."""
     n = b.shape[0]
-    npad = -(-n // block) * block
-    if npad != n:
-        pad_idx = jnp.arange(n, npad)
+    npad = -(-L.shape[0] // block) * block
+    if L.shape[0] != npad:
+        pad_idx = jnp.arange(L.shape[0], npad)
         P = jnp.zeros((npad, npad), L.dtype)
-        P = P.at[:n, :n].set(L)
+        P = P.at[: L.shape[0], : L.shape[0]].set(L)
         L = P.at[pad_idx, pad_idx].set(1.0)
+    if n != npad:
         b = jnp.concatenate([b, jnp.zeros((npad - n,), b.dtype)])
     y = blocked_tri_solve_lower(L, b, block)
     x = blocked_tri_solve_upper_T(L, y, block)
@@ -377,9 +380,22 @@ def blocked_chol_solve(L, b, block: int = 2048):
 _BLOCKED_CHOL_MIN_N = 16384
 
 
+def chol_pad_n(n: int, block: int = 2048) -> int:
+    """Factor size consumers should assemble into: a ``block`` multiple
+    for the single-buffer blocked path (so :func:`blocked_cholesky` and
+    :func:`blocked_chol_solve` never copy the n^2 buffer to pad it),
+    ``n`` itself below the dense threshold."""
+    if n >= _BLOCKED_CHOL_MIN_N:
+        return -(-n // block) * block
+    return n
+
+
 def chol_factor(M):
     """Lower-triangular Cholesky factor of SPD ``M``, choosing the
-    memory-lean blocked path for large systems."""
+    memory-lean blocked path for large systems.  Large inputs should be
+    pre-padded to :func:`chol_pad_n` (unit diagonal in the pad); the
+    factor is then returned padded — downstream solves zero-extend the
+    RHS instead of slicing the factor (an n^2 copy)."""
     if M.shape[0] >= _BLOCKED_CHOL_MIN_N:
         return blocked_cholesky(M)
     return jnp.linalg.cholesky(M)
@@ -396,7 +412,11 @@ def chol_refine_solve(L, s, data, b, matvec, refine_steps: int,
 
     ``tri_solve(L, rhs)`` overrides the two dense ``solve_triangular``
     passes — :func:`blocked_chol_solve` keeps a mesh-sharded factor
-    sharded (plain ``solve_triangular`` makes GSPMD all-gather it)."""
+    sharded (plain ``solve_triangular`` makes GSPMD all-gather it).
+
+    ``L`` may be padded past n (the :func:`chol_pad_n` convention, unit
+    diagonal in the pad): the RHS is zero-extended and the solution
+    sliced — the pad rows solve to exact zeros."""
     if tri_solve is None:
         def tri_solve(Lf, rf):
             y = jsl.solve_triangular(Lf, rf, lower=True)
@@ -408,7 +428,12 @@ def chol_refine_solve(L, s, data, b, matvec, refine_steps: int,
         scale = jnp.linalg.norm(r)
         safe = jnp.where(scale > 0, scale, 1.0)
         rf = ((r / safe) * s).astype(jnp.float32)
-        y = tri_solve(L, rf)
+        m = L.shape[0]
+        if m != rf.shape[0]:
+            rf = jnp.concatenate(
+                [rf, jnp.zeros((m - rf.shape[0],), rf.dtype)]
+            )
+        y = tri_solve(L, rf)[: r.shape[0]]
         return -(y.astype(r.dtype) * s) * safe
 
     x0 = backsub(b)
@@ -465,14 +490,15 @@ class DeviceCholSolver:
             )
 
         def factor(data):
-            A = assembler.assemble_dense_from_csr(data.astype(jnp.float32))
-            A = 0.5 * (A + A.T)
-            d = jnp.abs(jnp.diagonal(A))
-            s = jax.lax.rsqrt(jnp.where(d > 0, d, 1.0))
-            As = A * s[:, None] * s[None, :]
-            # elastic force Jacobian is negative definite at stable
-            # states: factor -As (NaN factor <=> indefinite state)
-            nAs = -As
+            # -(D A D) assembled straight into the (padded) factor
+            # buffer — the elastic force Jacobian is negative definite
+            # at stable states, so -As is SPD (NaN factor <=>
+            # indefinite state).  See assemble_dense_scaled_neg for why
+            # this replaces the dense symmetrize/scale chain (OOM at
+            # n=41k).
+            nAs, s = assembler.assemble_dense_scaled_neg(
+                data, chol_pad_n(self.n)
+            )
             if shard is not None:
                 nAs = jax.lax.with_sharding_constraint(nAs, shard)
                 L = blocked_cholesky(nAs)

@@ -359,6 +359,49 @@ class SparseAssembler:
             jnp.asarray(self.csr_rowidx), jnp.asarray(self.csr_cols)
         ].set(data)
 
+    def _diag_nnz_pos(self):
+        if getattr(self, "_diag_pos_cache", None) is None:
+            sel = np.nonzero(self.csr_rowidx == self.csr_cols)[0]
+            self._diag_pos_cache = (
+                sel.astype(np.int32),
+                self.csr_rowidx[sel].astype(np.int32),
+            )
+        return self._diag_pos_cache
+
+    def assemble_dense_scaled_neg(self, data, npad=None):
+        """``-(D A D)`` scattered directly into ONE (npad, npad) f32
+        buffer with unit diagonal padding, where ``D = diag(s)`` is the
+        Jacobi equilibration from A's diagonal.  Memory-lean
+        counterpart of the dense chain assemble -> symmetrize -> scale
+        -> negate used by the device Cholesky: that chain materialized
+        2-3 full (n, n) f32 temporaries and exhausted the 16 GB chip at
+        n=41k (armadillo).  Here every elementwise transform runs on
+        the (nnz,) value vector.  The explicit ``0.5 (A + A^T)``
+        symmetrization is dropped: the Cholesky consumers read only the
+        lower triangle (XLA potrf semantics; ``blocked_cholesky`` masks
+        the upper panels), which matches the symmetric average to f32
+        assembly rounding — absorbed by the f64 refinement against the
+        exact operator.  Returns ``(P, s)`` with ``s`` in ``data``'s
+        dtype."""
+        import jax
+
+        n = self.n
+        npad = n if npad is None else int(npad)
+        pos, prow = self._diag_nnz_pos()
+        d = jnp.zeros((n,), data.dtype).at[jnp.asarray(prow)].set(
+            data[jnp.asarray(pos)]
+        )
+        d = jnp.abs(d)
+        s = jax.lax.rsqrt(jnp.where(d > 0, d, 1.0))
+        rows = jnp.asarray(self.csr_rowidx)
+        cols = jnp.asarray(self.csr_cols)
+        vals = (-(data * s[rows] * s[cols])).astype(jnp.float32)
+        P = jnp.zeros((npad, npad), jnp.float32).at[rows, cols].set(vals)
+        if npad != n:
+            pad_idx = jnp.arange(n, npad)
+            P = P.at[pad_idx, pad_idx].set(1.0)
+        return P, s
+
     def diag_blocks(self, data, block: int):
         """Extract the (n/block, block, block) block diagonal from CSR
         values (for block-Jacobi preconditioning).  Map built lazily."""

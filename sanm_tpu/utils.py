@@ -209,6 +209,22 @@ class ScopedProfiler:
         return acc[0]
 
     @classmethod
+    def stats(cls, name):
+        """(calls, total_seconds) summed over every node named ``name``
+        (the counting companion of :meth:`total`)."""
+        acc = [0, 0.0]
+
+        def walk(n):
+            for c in n.children.values():
+                if c.name == name:
+                    acc[0] += c.nr_call
+                    acc[1] += c.tot
+                walk(c)
+
+        walk(cls._root)
+        return acc[0], acc[1]
+
+    @classmethod
     def reset(cls):
         with cls._lock:
             cls._root = _ProfNode("<root>")
