@@ -13,6 +13,33 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:$PYTHONPATH"
 RT=results_tpu
 
+# -- 0: redo the profiles (the wave-2 artifacts came from the broken
+# standalone-timing harness; profile_step.py was rewritten to measure
+# live warm restarts) and retry the armadillo dense_chol shootout with
+# the memory-lean scaled assembly (df494ce) -----------------------------
+PROF_STAMP=/tmp/r3b_prof_redone
+if [ ! -f $PROF_STAMP ]; then
+  rm -f $RT/profile_step_armadillo_arap.json \
+        $RT/profile_step_armadillo_nhc.json
+  if grep -q '"error"' $RT/solver_shootout_armadillo.json 2>/dev/null; then
+    mv $RT/solver_shootout_armadillo.json \
+       $RT/solver_shootout_armadillo_oom_assembly.json
+  fi
+  touch $PROF_STAMP
+fi
+[ -f $RT/profile_step_armadillo_arap.json ] || \
+timeout 3600 python scripts/profile_step.py --mesh armadillo_small.json \
+  --energy arap --order 20 \
+  --out $RT/profile_step_armadillo_arap.json || true
+[ -f $RT/profile_step_armadillo_nhc.json ] || \
+timeout 3600 python scripts/profile_step.py --mesh armadillo_small.json \
+  --energy neohookean_c --order 20 \
+  --out $RT/profile_step_armadillo_nhc.json || true
+[ -f $RT/solver_shootout_armadillo.json ] || \
+timeout 7200 python scripts/bench_solvers.py --mesh armadillo_small.json \
+  --solvers host_lu dense_chol \
+  --out $RT/solver_shootout_armadillo.json || true
+
 # -- 1: stale ARAP cells (pairs share compiled kernels) ----------------
 RE() {
   local cells=()
