@@ -29,7 +29,13 @@ CONFIG = os.path.join(
 
 
 def run_solve(overrides=()):
-    os.environ["SANM_WARM_TIMING"] = "1"
+    # best-of-3 warm re-solves: the remote-tunnel device has measured
+    # +-30-50% session variance, so a single warm sample measures tunnel
+    # weather, not code (round-3 driver bench: 34.5 s vs 13.6 s
+    # in-session for identical code).  The minimum is the reference's
+    # in-process timing semantics (fea/main.cpp:247-296 times a
+    # long-lived process with MKL caches hot).
+    os.environ["SANM_WARM_TIMING"] = "3"
     import sanm_tpu
 
     sanm_tpu.enable_compile_cache()
@@ -123,6 +129,7 @@ def main():
         ),
         "detail": {
             "iters": stat["iter"],
+            "warm_samples": stat.get("warm_samples"),
             "force_rms": stat["force_rms_recomp"],
             "cold_time_solve_s": round(stat["time_solve"], 2),
             "newton_baseline_warm_s": (

@@ -499,6 +499,55 @@ class _ANMDriverBase:
         )
         return self._devfns
 
+    def _fact_reusable(self, fact, xt0_np) -> bool:
+        """Whether a cached factorization from a previous restart is
+        close enough to the new start point to reuse (distance covers
+        the FULL start point including the t entry: for
+        ANMImplicitSolver the assembled A and grad_t depend on t)."""
+        if fact is None or self.hp.fact_reuse_rel_step <= 0:
+            return False
+        ncmp = self.n + 1 if self.is_implicit else self.n
+        return float(
+            np.linalg.norm(xt0_np[:ncmp] - fact["x0"])
+        ) <= self.hp.fact_reuse_rel_step * (
+            float(np.linalg.norm(fact["x0"])) + 1e-30
+        )
+
+    def _maybe_prefetch_jac(self):
+        """Dispatch the device Jacobian+CSR assembly for the CURRENT
+        start point before the host-side exact residual evaluation.
+
+        Both are per-restart fixed costs on independent resources (the
+        Jacobian/assembly is pure device work, ``_eval_fx_np`` is pure
+        host NumPy); dispatching the former first lets them overlap —
+        in the round-3 roofline they ran back to back (~1.3 s device +
+        ~1.2 s host per armadillo-small restart).  The reference has no
+        analog problem: its f(x0) is a fast threaded graph pass
+        (``libsanm/symbolic.cpp:44-60``).  Skipped when a cached
+        factorization could be reused (the dispatch would occupy the
+        device queue for nothing)."""
+        self._prefetched = None
+        if self._loop_mode() != "hybrid":
+            return
+        xt0_np = self.xt0
+        if self._solver_mode() == "dense_chol" and self._fact_reusable(
+            getattr(self, "_fact_dev", None), xt0_np
+        ):
+            return
+        if self._fact_reusable(getattr(self, "_fact", None), xt0_np):
+            return
+        jac_asm = self._hybrid_fns()[0]
+        self._prefetched = (xt0_np.copy(), jac_asm(jnp.asarray(xt0_np)))
+
+    def _take_prefetched_jac(self, xt0_np):
+        """Return the prefetched (data, gt_asm, E) if it matches
+        ``xt0_np``, else None.  One-shot: always cleared."""
+        p = getattr(self, "_prefetched", None)
+        self._prefetched = None
+        if p is not None and np.array_equal(p[0], xt0_np):
+            return p[1]
+        return None
+
     def _expand_hybrid_devloop(self, xt0_np, v_np):
         """dense_chol expansion; returns None when the current state's
         stiffness is indefinite (caller falls back to host LU)."""
@@ -510,15 +559,8 @@ class _ANMDriverBase:
         split = self._hyb_split
         factor, order1, fused, last, fused_small = self._devloop_fns()
         xt0 = jnp.asarray(xt0_np)
-        ncmp = n + 1 if self.is_implicit else n
         fact = getattr(self, "_fact_dev", None)
-        reuse = (
-            fact is not None
-            and hp.fact_reuse_rel_step > 0
-            and float(np.linalg.norm(xt0_np[:ncmp] - fact["x0"]))
-            <= hp.fact_reuse_rel_step
-            * (float(np.linalg.norm(fact["x0"])) + 1e-30)
-        )
+        reuse = self._fact_reusable(fact, xt0_np)
         self._last_fact_reused = reuse
         if reuse:
             with ScopedProfiler("build_sparse_coeff", block=True):
@@ -527,8 +569,11 @@ class _ANMDriverBase:
                 fact["L"], fact["s"], fact["E"], fact["gt"]
             )
         else:
+            pre = self._take_prefetched_jac(xt0_np)
             with ScopedProfiler("build_sparse_coeff", block=True):
-                data, gt_asm, E = jac_asm(xt0)
+                data, gt_asm, E = (
+                    pre if pre is not None else jac_asm(xt0)
+                )
                 carry, aux = prepare_light(xt0)
             with ScopedProfiler("sparse_prep", block=True):
                 L, s, ok = factor(data)
@@ -537,6 +582,7 @@ class _ANMDriverBase:
             grad_t = (
                 gt_asm if self.is_implicit else jnp.asarray(v_np)
             )
+            ncmp = n + 1 if self.is_implicit else n
             self._fact_dev = {
                 "x0": xt0_np[:ncmp].copy(),
                 "L": L, "s": s, "E": E, "gt": grad_t,
@@ -565,6 +611,29 @@ class _ANMDriverBase:
         dg = np.asarray(diag)[2:] if sanity else np.zeros((0,))
         return coeffs, dg
 
+    def _splu_factorize(self, A, pen):
+        """Sparse LU returning a ``solve(b)`` closure.
+
+        Ordering: default COLAMD — measured 1.7 s vs 6.5 s for
+        MMD_AT_PLUS_A on the armadillo stiffness (the real tet
+        adjacency favors COLAMD).  A PARDISO-style analyze-once reuse
+        (cache ``argsort(lu.perm_c)``, pre-permute, NATURAL ordering)
+        was measured a wash (``scripts/splu_reuse_probe.py``: identical
+        LU fill, 0.397 s vs 0.368 s at n=13.7k) — scipy's COLAMD phase
+        is a negligible slice of ``splu``, so the reference's
+        analyze/factorize split (``libsanm/sparse_solver.cpp:327-421``)
+        has nothing left to save here and is intentionally absent."""
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        if pen:
+            G = (A.T @ A).tocsc() + pen * sp.identity(
+                self.n, format="csc"
+            )
+            lu = spla.splu(G)
+            return lambda b: lu.solve(A.T @ b)
+        return spla.splu(A.tocsc()).solve
+
     def _expand_hybrid(self, xt0_np, v_np):
         """Full expansion with host-side sparse direct solves."""
         import scipy.sparse as sp
@@ -586,19 +655,7 @@ class _ANMDriverBase:
         xt0 = jnp.asarray(xt0_np)
         pen = hp.xcoeff_l2_penalty
         fact = getattr(self, "_fact", None)
-        # the reuse distance covers the FULL start point including the t
-        # entry: for ANMImplicitSolver the assembled A and grad_t depend
-        # on t (the boundary displacement scales with t), so a restart
-        # where the free vertices barely move but t advances would
-        # otherwise reuse a materially stale factorization
-        ncmp = n + 1 if self.is_implicit else n
-        reuse = (
-            fact is not None
-            and hp.fact_reuse_rel_step > 0
-            and float(np.linalg.norm(xt0_np[:ncmp] - fact["x0"]))
-            <= hp.fact_reuse_rel_step
-            * (float(np.linalg.norm(fact["x0"])) + 1e-30)
-        )
+        reuse = self._fact_reusable(fact, xt0_np)
         self._last_fact_reused = reuse
         if reuse:
             with ScopedProfiler("build_sparse_coeff", block=True):
@@ -607,8 +664,16 @@ class _ANMDriverBase:
             solve = fact["solve"]
             gt_asm_np = fact["gt_asm"]
         else:
-            with ScopedProfiler("build_sparse_coeff", block=True):
-                data, gt_asm, _E = jac_asm(xt0)
+            pre = self._take_prefetched_jac(xt0_np)
+            # dispatch order matters: prepare_light goes to the device
+            # queue right behind the Jacobian/assembly and is NOT waited
+            # on here, so the engine-buffer initialization executes on
+            # the device WHILE the host factorizes below (the profiler's
+            # block=True barrier serializes this only under SANM_PROFILE)
+            with ScopedProfiler("build_sparse_coeff"):
+                data, gt_asm, _E = (
+                    pre if pre is not None else jac_asm(xt0)
+                )
                 carry, aux = prepare_light(xt0)
             with ScopedProfiler("sparse_prep"):
                 if self._solver_mode() == "cg":
@@ -635,23 +700,11 @@ class _ANMDriverBase:
                         (data_np, (asm.csr_rowidx, asm.csr_cols)),
                         shape=(n, n),
                     )
-                    # ordering: default COLAMD — measured 1.7 s vs
-                    # 6.5 s for MMD_AT_PLUS_A on the armadillo
-                    # stiffness (a 3D 27-point-stencil proxy suggested
-                    # the opposite; the real tet adjacency favors
-                    # COLAMD)
-                    if pen:
-                        G = (A.T @ A).tocsc() + pen * sp.identity(
-                            n, format="csc"
-                        )
-                        lu = spla.splu(G)
-                        solve = lambda b: lu.solve(A.T @ b)
-                    else:
-                        lu = spla.splu(A.tocsc())
-                        solve = lu.solve
+                    solve = self._splu_factorize(A, pen)
                     gt_asm_np = (
                         np.asarray(gt_asm) if self.is_implicit else None
                     )
+            ncmp = n + 1 if self.is_implicit else n
             self._fact = {
                 "x0": xt0_np[:ncmp].copy(),
                 "A": A,
@@ -894,6 +947,7 @@ class _ANMDriverBase:
 
     def solve_expansion_coeffs(self):
         with ScopedProfiler("solve_expansion_coeffs", block=True):
+            self._maybe_prefetch_jac()
             with ScopedProfiler("eval_fx0_np"):
                 fx = self._eval_fx_np(self.xt0)
             if not self.on_fx0_computed(np.asarray(fx)):
