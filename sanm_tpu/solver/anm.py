@@ -369,9 +369,18 @@ class _ANMDriverBase:
     # per-order device->host crossing (the host_lu path pays a ~37 ms
     # pull + 1-core backsolve per order).
     # ------------------------------------------------------------------
-    def _devloop_fns(self, refine_steps: int = 8):
+    def _devloop_fns(self, refine_steps: Optional[int] = None):
         if getattr(self, "_devfns", None) is not None:
             return self._devfns
+        if refine_steps is None:
+            # refinement depth of the fused device solve: each step is
+            # two n^2 triangular passes + one element matvec, the
+            # dominant per-order cost of dense_chol (17 passes/order at
+            # refine=8 is why it lost to host_lu at bob scale, RESULTS
+            # r3); SANM_REFINE_STEPS is the measured-tuning knob
+            import os
+
+            refine_steps = int(os.environ.get("SANM_REFINE_STEPS", "8"))
         from ..taylor_scan import ScanEngine
         from .linear import (
             blocked_chol_solve,
@@ -460,8 +469,7 @@ class _ANMDriverBase:
         def fused_for(cap):
             def fused(L, s, E, carry, aux, k, b, caches, xgt, x1, denom,
                       grad_t, XT, diag):
-                """solve(k) + commit(k) + bias(k+1): one dispatch per
-                order."""
+                """solve(k) + commit(k) + bias(k+1)."""
                 xt_k, XT, diag = solve_rec(
                     L, s, E, b, xgt, x1, denom, grad_t, k, XT, diag
                 )
@@ -477,6 +485,34 @@ class _ANMDriverBase:
 
             return fused
 
+        def scan_seg_for(cap, ks):
+            """Orders ``ks`` fused into ONE dispatch via lax.scan —
+            the devloop previously paid one host-driven dispatch per
+            order (VERDICT r3 item 4); the scan removes the ~10-30 ms
+            tunnel dispatch latency x N-2 orders and lets XLA pipeline
+            the loop without host round trips (the reference's analog:
+            backsolves are negligible next to graph passes,
+            libsanm/sparse_solver.cpp:154-180)."""
+            fused = fused_for(cap)
+
+            def seg(L, s, E, carry, aux, b, caches, xgt, x1, denom,
+                    grad_t, XT, diag):
+                def body(st, k):
+                    carry, caches, b, XT, diag = st
+                    carry, caches, b, XT, diag = fused(
+                        L, s, E, carry, aux, k, b, caches, xgt, x1,
+                        denom, grad_t, XT, diag,
+                    )
+                    return (carry, caches, b, XT, diag), None
+
+                st, _ = jax.lax.scan(
+                    body, (carry, caches, b, XT, diag),
+                    jnp.asarray(ks, jnp.int32),
+                )
+                return st
+
+            return seg
+
         def last(L, s, E, b, xgt, x1, denom, grad_t, XT, diag):
             _, XT, diag = solve_rec(
                 L, s, E, b, xgt, x1, denom, grad_t, order, XT, diag
@@ -486,15 +522,20 @@ class _ANMDriverBase:
         from ..jit_util import jit_hoist_consts
 
         split = self._two_level_split(tfn_pass)
+        seg_don = (3, 5, 6, 11, 12)  # carry, b, caches, XT, diag
+        ks_small = tuple(range(2, (split or 1) + 1))
+        ks_full = tuple(range((split or 1) + 1, order))
         self._devfns = (
             jit_hoist_consts(factor),
             jit_hoist_consts(order1),
-            jit_hoist_consts(fused_for(None), donate_argnums=(3, 7, 12, 13)),
+            jit_hoist_consts(
+                scan_seg_for(None, ks_full), donate_argnums=seg_don
+            ),
             jit_hoist_consts(last, donate_argnums=(8, 9)),
             None
-            if split is None
+            if split is None or not ks_small
             else jit_hoist_consts(
-                fused_for(split), donate_argnums=(3, 7, 12, 13)
+                scan_seg_for(split, ks_small), donate_argnums=seg_don
             ),
         )
         return self._devfns
@@ -557,7 +598,7 @@ class _ANMDriverBase:
             self._hybrid_fns()
         )
         split = self._hyb_split
-        factor, order1, fused, last, fused_small = self._devloop_fns()
+        factor, order1, seg_full, last, seg_small = self._devloop_fns()
         xt0 = jnp.asarray(xt0_np)
         fact = getattr(self, "_fact_dev", None)
         reuse = self._fact_reusable(fact, xt0_np)
@@ -593,15 +634,19 @@ class _ANMDriverBase:
         with ScopedProfiler("order_step", block=True):
             step1 = step_fn if split is None else step_small
             carry, b_dev, caches = step1(carry, aux, 1, xt1, None)
-        for k in range(2, hp.order):
-            with ScopedProfiler("order_step_dev"):
-                if split is not None and k == split + 1:
-                    carry = promote(carry)
-                f = fused if split is None or k > split else fused_small
-                carry, caches, b_dev, XT, diag = f(
-                    L, s, E, carry, aux, jnp.asarray(k), b_dev,
-                    caches, xgt, x1, denom, grad_t, XT, diag,
+        # orders 2..N-1 run in one (or two, with the two-level split)
+        # scan dispatches — zero host involvement inside the loop
+        with ScopedProfiler("order_step_dev", block=True):
+            if seg_small is not None:
+                carry, caches, b_dev, XT, diag = seg_small(
+                    L, s, E, carry, aux, b_dev, caches, xgt, x1,
+                    denom, grad_t, XT, diag,
                 )
+                carry = promote(carry)
+            carry, caches, b_dev, XT, diag = seg_full(
+                L, s, E, carry, aux, b_dev, caches, xgt, x1,
+                denom, grad_t, XT, diag,
+            )
         with ScopedProfiler("sparse_solve", block=True):
             XT, diag = last(
                 L, s, E, b_dev, xgt, x1, denom, grad_t, XT, diag
