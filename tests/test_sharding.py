@@ -88,3 +88,45 @@ def test_sharded_dense_chol_matches_unsharded():
     with shard.mesh:
         got = solve_chol(shard=shard)
     require_tensor_eq(got, ref, 1e-9, msg="sharded dense_chol")
+
+
+def test_sharded_implicit_matches_unsharded():
+    """The implicit (prescribed-displacement continuation) driver under
+    element sharding: the t*delta remap column, the grad_t assembly
+    split and the hybrid host_lu path must produce the same expansion
+    as unsharded (reference multithread-determinism tier,
+    tests/symbolic.cpp:631-637)."""
+    from sanm_tpu.solver import ANMImplicitSolver
+    from sanm_tpu.solver.anm import HyperParam
+
+    mesh = TetrahedralMesh.make_cuboid(5, 3, 3, 0.025)
+    body = DeformableBody(MATERIAL, mesh)
+    body.coord_fixed_mask[mesh.vertices[:, 0] <= 0.0125, :] = True
+    far = mesh.vertices[:, 0] > 3 * 0.025 + 0.0125
+    body.coord_fixed_mask[far, :] = True
+    vtx_delta = np.zeros((mesh.nr_vertices, 3))
+    vtx_delta[far, 2] = 0.01  # bend the far face up by t*delta
+
+    def solve_impl(shard=None, solver="auto"):
+        model = body.make_forward(
+            EnergyModel.NEOHOOKEAN_C, mesh.vertices.copy(), vtx_delta
+        )
+        hp = HyperParam(order=6, use_pade=True, solver=solver)
+        hp.solution_check_tol = 10.0  # continuation restarts (main.cpp:513)
+        s = ANMImplicitSolver(
+            model.fn, model.lt_inp.remap, model.lt_out.remap,
+            model.x0(), 0.0, hp, shard_elems=shard,
+        )
+        s.update_approx()
+        return np.asarray(s.xt_coeffs), float(s.get_t_upper())
+
+    for solver in ("auto", "host_lu"):
+        ref, t_ref = solve_impl(solver=solver)
+        shard = ElemSharding(jax.devices()[:8])
+        with shard.mesh:
+            got, t_got = solve_impl(shard=shard, solver=solver)
+        assert got.shape == ref.shape
+        require_tensor_eq(
+            got, ref, 1e-9, msg="sharded implicit (%s)" % solver
+        )
+        assert abs(t_got - t_ref) <= 1e-9 * max(1.0, abs(t_ref))
