@@ -39,6 +39,7 @@ MESH_TASKS = {
     "bifur3": ("bifur3.json", "bifur3_bend_override.json"),
     "bob": ("bob.json", "bob_bend_override.json"),
     "human": ("human.json", "human_bend_override.json"),
+    "jet": ("jet.json", None),
     "plant": ("plant.json", "plant_bend_override.json"),
 }
 
@@ -83,6 +84,11 @@ def run_cell(out_dir, mesh, energy, solver, task, extra_env, timeout=None):
         print(f"[n/a ] {cell} (deform-only mesh)")
         return True
     args.append(os.path.join(CONFIGS, ENERGY_OVERRIDES[energy]))
+    if task == "inverse":
+        # inverse rest-shape design (reference config/override_inverse.json
+        # on the gravity task, fea/main.cpp:660-662): gravity config +
+        # inverse flag; exercises the inverted-element SVD path
+        args.append(os.path.join(CONFIGS, "override_inverse.json"))
     if mesh == "armadillo_small" and energy == "arap" and task == "gravity":
         # the reference's own protocol hardens the material for exactly
         # this cell (cmp_with_baseline.sh:44-46 adds
@@ -112,8 +118,19 @@ def run_cell(out_dir, mesh, energy, solver, task, extra_env, timeout=None):
                 stderr=subprocess.STDOUT, timeout=timeout,
             ).returncode
     except subprocess.TimeoutExpired:
-        print(f"[TIME] {cell}")
-        return False
+        # record the timeout as a measured LOWER BOUND and mark the cell
+        # done: for the slow baselines (LevMar's 1000-iter cap at mesh
+        # scale) "still running after N seconds" is itself the datum the
+        # reference's speedup table needs (README.md "thousands of times
+        # faster" is a >=-bound claim there too) — and retrying a cell
+        # that deterministically exceeds the budget would wedge the chain
+        with open(os.path.join(cell_dir, "timeout.json"), "w") as tf:
+            json.dump({"timeout_s": timeout, "solver": solver,
+                       "mesh": mesh, "energy": energy, "task": task,
+                       "note": "wall time lower bound; run killed"}, tf)
+        open(done, "w").close()
+        print(f"[TIME] {cell} (recorded as >= {timeout}s lower bound)")
+        return True
     if ret == 0:
         open(done, "w").close()
         return True
