@@ -162,7 +162,9 @@ class _ANMDriverBase:
     def _loop_mode(self):
         mode = self.hp.loop
         if mode == "auto":
-            if self._solver_mode() in ("host_lu", "cg", "dense_chol"):
+            if self._solver_mode() in (
+                "host_lu", "cg", "dense_chol", "band_chol"
+            ):
                 # hybrid: the device computes graph passes; the solves
                 # run between the per-order jits (host sparse LU, or a
                 # separately-jitted device PCG — embedding the CG
@@ -412,25 +414,54 @@ class _ANMDriverBase:
             )
         tri_solve = None if fact_sharding is None else blocked_chol_solve
 
-        def factor(data):
-            # -(D A D) assembled straight into the (padded) factor
-            # buffer: the elastic force Jacobian is negative definite
-            # at stable states (A = -K), so -As is SPD; a NaN diagonal
-            # flags an indefinite state and the caller falls back to
-            # host LU.  assemble_dense_scaled_neg documents why the
-            # dense symmetrize/scale chain was replaced (OOM at n=41k).
-            from .linear import chol_pad_n
+        if self._solver_mode() == "band_chol":
+            # sparse-direct device path: RCM band factor (see
+            # solver/band.py) — same (L, s, ok) contract, the
+            # permutation hidden inside the tri_solve hook.  The factor
+            # is replicated under a mesh (band rows shard poorly across
+            # the w-block halo; at band memory n*(2w+1)s that is
+            # affordable well past the dense path's ceiling).
+            from .band import (
+                BandPlan,
+                assemble_band_scaled_neg,
+                band_cholesky,
+                band_tri_solve_fn,
+            )
 
-            nAs, s = asm.assemble_dense_scaled_neg(data, chol_pad_n(n))
-            if fact_sharding is not None:
-                nAs = jax.lax.with_sharding_constraint(nAs, fact_sharding)
-                L = jax.lax.with_sharding_constraint(
-                    blocked_cholesky(nAs), fact_sharding
-                )
-            else:
-                L = chol_factor(nAs)
-            ok = jnp.isfinite(jnp.diagonal(L)).all()
-            return L, s, ok
+            plan = BandPlan(asm.csr_rowidx, asm.csr_cols, n)
+            self._band_plan = plan
+            tri_solve = band_tri_solve_fn(plan)
+
+            def factor(data):
+                Bb, s = assemble_band_scaled_neg(plan, asm, data)
+                L = band_cholesky(Bb, plan.s, plan.w)
+                ok = jnp.isfinite(
+                    L.reshape(-1)[jnp.asarray(plan.diag_idx)]
+                ).all()
+                return L, s, ok
+
+        else:
+            def factor(data):
+                # -(D A D) assembled straight into the (padded) factor
+                # buffer: the elastic force Jacobian is negative definite
+                # at stable states (A = -K), so -As is SPD; a NaN diagonal
+                # flags an indefinite state and the caller falls back to
+                # host LU.  assemble_dense_scaled_neg documents why the
+                # dense symmetrize/scale chain was replaced (OOM at n=41k).
+                from .linear import chol_pad_n
+
+                nAs, s = asm.assemble_dense_scaled_neg(data, chol_pad_n(n))
+                if fact_sharding is not None:
+                    nAs = jax.lax.with_sharding_constraint(
+                        nAs, fact_sharding
+                    )
+                    L = jax.lax.with_sharding_constraint(
+                        blocked_cholesky(nAs), fact_sharding
+                    )
+                else:
+                    L = chol_factor(nAs)
+                ok = jnp.isfinite(jnp.diagonal(L)).all()
+                return L, s, ok
 
         def order1(L, s, E, grad_t, xt0):
             xgt = chol_refine_solve(
@@ -571,9 +602,9 @@ class _ANMDriverBase:
         if self._loop_mode() != "hybrid":
             return
         xt0_np = self.xt0
-        if self._solver_mode() == "dense_chol" and self._fact_reusable(
-            getattr(self, "_fact_dev", None), xt0_np
-        ):
+        if self._solver_mode() in (
+            "dense_chol", "band_chol"
+        ) and self._fact_reusable(getattr(self, "_fact_dev", None), xt0_np):
             return
         if self._fact_reusable(getattr(self, "_fact", None), xt0_np):
             return
@@ -686,12 +717,15 @@ class _ANMDriverBase:
 
         hp = self.hp
         n = self.n
-        if self._solver_mode() == "dense_chol" and not hp.xcoeff_l2_penalty:
+        if self._solver_mode() in (
+            "dense_chol", "band_chol"
+        ) and not hp.xcoeff_l2_penalty:
             out = self._expand_hybrid_devloop(xt0_np, v_np)
             if out is not None:
                 return out
             if verbose_mode():
-                print("dense_chol: indefinite stiffness; host-LU fallback")
+                print("%s: indefinite stiffness; host-LU fallback"
+                      % self._solver_mode())
         jac_asm, step_small, promote, step_fn, prepare_light = (
             self._hybrid_fns()
         )
@@ -963,6 +997,10 @@ class _ANMDriverBase:
             from .linear import DeviceCholSolver
 
             return DeviceCholSolver(asm, data, l2_penalty=pen)
+        if mode == "band_chol":
+            from .band import DeviceBandCholSolver
+
+            return DeviceBandCholSolver(asm, data, l2_penalty=pen)
         raise SANMError(f"unknown solver mode {mode}")
 
     # -- host control -----------------------------------------------------

@@ -104,7 +104,9 @@ class TestAssembler:
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mode", ["host_lu", "cg", "dense_chol"])
+@pytest.mark.parametrize(
+    "mode", ["host_lu", "cg", "dense_chol", "band_chol"]
+)
 def test_solver_backends_match_dense(mode):
     body, f_load = make_problem()
     em = EnergyModel.NEOHOOKEAN_C
@@ -266,7 +268,11 @@ def test_device_chol_mesh_matches_single():
         assert resid < 1e-10, (scale, resid)
 
 
-def test_implicit_solver_dense_chol():
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("dev_mode", ["dense_chol", "band_chol"])
+def test_implicit_solver_devloop(dev_mode):
     """The implicit driver's grad_t path through the fully
     device-resident devloop: f is chosen with a negative-definite
     Jacobian (the elastic convention dense_chol factors, A = -K), and
@@ -281,7 +287,7 @@ def test_implicit_solver_dense_chol():
     rout = LinearRemap.identity(batch)
     solver = ANMImplicitSolver(
         lambda x: -(x**1.5), rin, rout, x0, 0.0,
-        HyperParam(solver="dense_chol"),
+        HyperParam(solver=dev_mode),
     )
     it = 0
     while solver.get_t_upper() < 1.0:
@@ -292,5 +298,5 @@ def test_implicit_solver_dense_chol():
     xt, t = solver.eval(solver.solve_a(1.0))
     require_tensor_eq(
         (np.asarray(xt) + dx) ** 1.5, x0**1.5, 1e-4,
-        msg="implicit dense_chol",
+        msg="implicit " + dev_mode,
     )
