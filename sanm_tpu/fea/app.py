@@ -31,6 +31,12 @@ from .model import DeformableBody
 #: (reference ``fea/main.cpp:28``)
 RMS_THRESH_FORCE_EQU = 1e-10
 
+def _null_ctx():
+    import contextlib
+
+    return contextlib.nullcontext()
+
+
 def _warm_repeat_count():
     """Number of warm re-solves under ``SANM_WARM_TIMING``.
 
@@ -294,14 +300,25 @@ def run_and_save(
         # variance, so a single warm sample measures tunnel weather,
         # not code (round-3 driver bench 34.5 s vs 13.6 s in-session
         # for identical code)
+        # SANM_COMPILE_GUARD: hot-loop discipline tripwire (the TPU
+        # analog of the reference's Eigen no-malloc guard,
+        # libsanm/tensor_impl_helper.h:12,45-64) — a warm re-solve that
+        # recompiles is a hot-loop performance bug.  "warn" prints,
+        # anything else truthy raises.
+        from ..utils import compile_guard
+
+        cg_mode = os.environ.get("SANM_COMPILE_GUARD", "")
         runs = []
         for _ in range(_warm_repeat_count()):
             sp0 = ScopedProfiler.total(
                 "sparse_prep"
             ) + ScopedProfiler.total("sparse_solve")
             t = Timer().start()
-            solver.reset()
-            xt = run_anm_eqn(solver, progress=False)
+            with compile_guard(
+                warn_only=(cg_mode == "warn"), tag="warm re-solve"
+            ) if cg_mode else _null_ctx():
+                solver.reset()
+                xt = run_anm_eqn(solver, progress=False)
             tw = t.stop().time()
             sp1 = ScopedProfiler.total(
                 "sparse_prep"

@@ -288,3 +288,78 @@ def probe_backend(timeout_s: int = 240) -> bool:
     except subprocess.TimeoutExpired:
         probe.kill()
         return False
+
+
+# ---------------------------------------------------------------------------
+# hot-loop discipline tripwires.  The reference forbids Eigen heap
+# allocation globally and re-enables it only in scoped regions
+# (EIGEN_RUNTIME_NO_MALLOC + ScopedAllowMalloc,
+# libsanm/tensor_impl_helper.h:12,45-64) — an allocation-in-hot-loop
+# tripwire.  Under XLA the analogous silent hot-loop bugs are (a) an
+# unintended *recompile* per call (shape/dtype/static-arg drift) and
+# (b) an unintended host<->device transfer; the guards below trip on
+# exactly those.  (b) is jax's own transfer_guard; (a) counts backend
+# compile events via jax.monitoring.
+# ---------------------------------------------------------------------------
+_compile_count = [0, False]
+
+
+def _ensure_compile_listener():
+    if _compile_count[1]:
+        return
+    import jax.monitoring as mon
+
+    def _on_dur(name, dur, **kw):
+        if name == "/jax/core/compile/backend_compile_duration":
+            _compile_count[0] += 1
+
+    mon.register_event_duration_secs_listener(_on_dur)
+    _compile_count[1] = True
+
+
+def compile_count() -> int:
+    """Number of XLA backend compilations observed so far (process-wide;
+    the listener attaches on first use)."""
+    _ensure_compile_listener()
+    return _compile_count[0]
+
+
+class compile_guard:
+    """``with compile_guard():`` asserts that no new XLA compilation
+    happens inside the scope — the warm-path discipline check: a warm
+    re-solve that silently retraces is the TPU analog of the
+    reference's allocation-in-hot-loop bug.  ``allow=k`` tolerates k
+    compiles (e.g. a first-call site known to compile lazily).
+    Enforcement raises :class:`SANMError`; set ``warn_only=True`` to
+    print instead (the ``SANM_COMPILE_GUARD=warn`` harness mode)."""
+
+    def __init__(self, allow: int = 0, warn_only: bool = False,
+                 tag: str = ""):
+        self.allow = int(allow)
+        self.warn_only = bool(warn_only)
+        self.tag = tag
+
+    def __enter__(self):
+        _ensure_compile_listener()
+        self._start = _compile_count[0]
+        return self
+
+    def seen(self) -> int:
+        return _compile_count[0] - self._start
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            return False
+        n = self.seen()
+        if n > self.allow:
+            msg = (
+                "compile_guard%s: %d XLA compilation(s) inside a "
+                "no-compile scope (allowed %d) — a hot loop is "
+                "silently retracing"
+                % (" [%s]" % self.tag if self.tag else "", n, self.allow)
+            )
+            if self.warn_only:
+                print("WARNING:", msg)
+            else:
+                raise SANMError(msg)
+        return False

@@ -55,6 +55,15 @@ SOLVER_OVERRIDES = {
     "baseline": ["override_baseline.json"],
     "baseline_noproj": ["override_baseline_noproj.json"],
     "baseline_levmar": ["override_baseline_levmar.json"],
+    # linear-backend variants of the SANM solver (same math, different
+    # factorization path; see sanm_tpu/solver/linear.py + band.py)
+    "sanm_band": [],
+    "sanm_dense_chol": [],
+}
+
+SOLVER_ENV = {
+    "sanm_band": {"SANM_SOLVER": "band_chol"},
+    "sanm_dense_chol": {"SANM_SOLVER": "dense_chol"},
 }
 
 
@@ -108,6 +117,7 @@ def run_cell(out_dir, mesh, energy, solver, task, extra_env, timeout=None):
     # does the same with its ScopedProfiler output,
     # render/gen_table_figs.py:328-339)
     env.setdefault("SANM_PROFILE", "1")
+    env.update(SOLVER_ENV.get(solver, {}))
     env.update(extra_env)
     log = os.path.join(cell_dir, "log.txt")
     print(f"[run ] {cell}", flush=True)

@@ -81,3 +81,48 @@ def test_unknown_func_raises(workdir, tmp_path):
     p.write_text(json.dumps({"func": "nope"}))
     with pytest.raises(SANMError):
         run_cli(os.path.join(CONFIGS, "sys.json"), str(p))
+
+
+def test_warm_resolve_compile_guard(workdir, monkeypatch, tmp_path):
+    """Hot-loop discipline tripwire (SANM_COMPILE_GUARD): a warm
+    re-solve on a long-lived solver must not trigger any new XLA
+    compilation — the TPU analog of the reference's
+    allocation-in-hot-loop guard (EIGEN_RUNTIME_NO_MALLOC,
+    libsanm/tensor_impl_helper.h:12,45-64)."""
+    cfg = {
+        "func": "gravity",
+        "material": {
+            "type": "young_poisson", "young": 680000, "poisson": 0.45,
+            "density": 958.125,
+        },
+        "energy_model": "neohookean_c",
+        "mesh": os.path.join(CONFIGS, "model", "beam3_tet.1"),
+        "g": [0, -9.81, 0],
+        "order": 6,
+        "out_filename": "bar_cg",
+    }
+    p = tmp_path / "task.json"
+    p.write_text(json.dumps(cfg))
+    monkeypatch.setenv("SANM_WARM_TIMING", "1")
+    monkeypatch.setenv("SANM_COMPILE_GUARD", "1")  # raise on violation
+    run_cli(os.path.join(CONFIGS, "sys.json"), str(p))
+    stat = json.load(open(workdir / "bar_cg-i0-neohookean_c.json"))
+    assert stat["time_solve_warm"] > 0
+
+
+def test_compile_guard_unit():
+    import jax
+    import jax.numpy as jnp
+
+    from sanm_tpu.utils import SANMError, compile_guard
+
+    f = jax.jit(lambda x: x * 2 + 1)
+    f(jnp.ones(3))
+    with compile_guard():
+        f(jnp.ones(3))  # warm: no compile
+    with pytest.raises(SANMError):
+        with compile_guard(tag="unit"):
+            jax.jit(lambda x: x * 3.5)(jnp.ones(3))
+    # allow budget tolerates known lazy-compile sites
+    with compile_guard(allow=1):
+        jax.jit(lambda x: x * 4.5)(jnp.ones(3))
