@@ -37,6 +37,15 @@ def load_cells(root):
                 if "time_solve" in v or "time" in v:
                     best = v
                     break
+            if best is None and "timeout.json" in stats:
+                # run killed at the cell budget: the wall time is a
+                # measured LOWER BOUND (run_experiments.py records it;
+                # the reference's "thousands of times faster than
+                # LevMar" README claim is the same >=-bound shape)
+                best = {
+                    "time_solve": float(stats["timeout.json"]["timeout_s"]),
+                    "timed_out": True,
+                }
             cells[name] = best if best is not None else list(
                 stats.values()
             )[0]
@@ -106,8 +115,9 @@ def main():
     print(f"{'cell':<50} {'time':>9} {'iter':>5} {'force_rms':>10}")
     for name in sorted(cells):
         s = cells[name]
+        mark = ">=" if s.get("timed_out") else ""
         print(
-            f"{name:<50} {cell_time(s):>9.3f} "
+            f"{name:<50} {mark + format(cell_time(s), '.3f'):>9} "
             f"{s.get('iter', s.get('iter_tot', '-')):>5} "
             f"{s.get('force_rms_recomp', s.get('force_rms', float('nan'))):>10.2e}"
         )
@@ -122,7 +132,8 @@ def main():
         task = rest[-1]
         mid = "-".join(rest[:-1])
         for solver in (
-            "sanm_no_pade", "baseline_noproj", "baseline_levmar",
+            "sanm_no_pade", "sanm_band", "sanm_dense_chol",
+            "baseline_noproj", "baseline_levmar",
             "baseline", "sanm",
         ):
             if mid.endswith(solver):
@@ -130,16 +141,80 @@ def main():
                 by_key[(mesh, energy, task)][solver] = s
                 break
 
+    # full solver-variant comparison table (the reference's 5-variant
+    # protocol, render/cmp_with_baseline.sh:40-57 + Makefile targets)
+    variants = ("sanm", "sanm_no_pade", "baseline", "baseline_noproj",
+                "baseline_levmar")
+    multi = {k: d for k, d in by_key.items() if len(d) > 1}
+    if multi:
+        print("\n=== solver-variant comparison (time, s; '>=' = killed "
+              "at budget) ===")
+        hdr = f"{'mesh-energy-task':<38}" + "".join(
+            f"{v:>17}" for v in variants
+        )
+        print(hdr)
+        for key in sorted(multi):
+            d = multi[key]
+            row = f"{'-'.join(key):<38}"
+            for v in variants:
+                if v not in d:
+                    row += f"{'-':>17}"
+                else:
+                    t = cell_time(d[v])
+                    mark = ">=" if d[v].get("timed_out") else ""
+                    row += f"{mark + format(t, '.2f'):>17}"
+            print(row)
+
+    levmar_ratios = []
     for base in ("baseline", "baseline_noproj", "baseline_levmar"):
         ratios = []
+        lower = False
         for key, d in by_key.items():
             if "sanm" in d and base in d:
-                ratios.append(cell_time(d[base]) / cell_time(d["sanm"]))
+                r = cell_time(d[base]) / cell_time(d["sanm"])
+                ratios.append(r)
+                lower |= bool(d[base].get("timed_out"))
+                if base == "baseline_levmar":
+                    levmar_ratios.append(
+                        ("-".join(key), r, d[base].get("timed_out", False))
+                    )
         if ratios:
+            bound = ">=" if lower else ""
             print(
-                f"\ngmean speedup sanm vs {base}: {gmean(ratios):.2f}x "
-                f"({len(ratios)} cells)"
+                f"\ngmean speedup sanm vs {base}: {bound}"
+                f"{gmean(ratios):.2f}x ({len(ratios)} cells)"
             )
+
+    if levmar_ratios:
+        # LevMar speedup figure (the reference's headline README claim
+        # is the SANM-vs-LevMar ratio; README.md:13-15)
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            names = [n for n, _, _ in levmar_ratios]
+            vals = [r for _, r, _ in levmar_ratios]
+            fig, ax = plt.subplots(
+                figsize=(1.2 + 0.9 * len(names), 3.2)
+            )
+            bars = ax.bar(range(len(vals)), vals)
+            for i, (_, r, to) in enumerate(levmar_ratios):
+                if to:
+                    ax.text(i, r, ">=", ha="center", va="bottom")
+            ax.set_xticks(range(len(names)))
+            ax.set_xticklabels(
+                [n.replace("-", "\n") for n in names], fontsize=7
+            )
+            ax.set_yscale("log")
+            ax.set_ylabel("speedup vs LevMar (x)")
+            fig.tight_layout()
+            out = os.path.join(root, "levmar_speedup.png")
+            fig.savefig(out, dpi=120)
+            print(f"LevMar speedup figure: {out}")
+        except Exception as e:  # pragma: no cover
+            print("  (LevMar figure skipped: %s)" % e)
 
     # Pade benefit: iterations saved (gen_table_figs.py:341-359)
     saved = []
