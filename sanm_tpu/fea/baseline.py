@@ -475,6 +475,8 @@ def solve_force_equ_levmar(
     max_iters = 1000
 
     import scipy.linalg as sla
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
 
     while True:
         stat.nr_iter += 1
@@ -482,18 +484,27 @@ def solve_force_equ_levmar(
         H = hess_free(vertices)
         newton_timer.start()
         energy = float(np.sqrt(np.mean(force * force)))
-        HtH = H.T @ H
+        # Above _SPARSE_THRESHOLD dofs _assemble_hessian returns CSR; the
+        # damped normal equations then stay sparse end-to-end (the
+        # reference always solves them with PardisoLLT on the sparse A'A,
+        # baseline/main.cpp:186-220,392-510).
+        sparse = sp.issparse(H)
+        HtH = (H.T @ H).tocsr() if sparse else H.T @ H
         rhs = H.T @ force
-        diag = np.diag(HtH).copy()
+        diag = HtH.diagonal().copy() if sparse else np.diag(HtH).copy()
         search_cnt = 0
         while True:
             search_cnt += 1
             damped = HtH.copy()
-            np.fill_diagonal(damped, diag * (1 + damp))
-            try:
-                delta = sla.solve(damped, rhs, assume_a="pos")
-            except np.linalg.LinAlgError:
-                delta = sla.solve(damped, rhs)
+            if sparse:
+                damped.setdiag(diag * (1 + damp))
+                delta = spla.splu(damped.tocsc()).solve(rhs)
+            else:
+                np.fill_diagonal(damped, diag * (1 + damp))
+                try:
+                    delta = sla.solve(damped, rhs, assume_a="pos")
+                except np.linalg.LinAlgError:
+                    delta = sla.solve(damped, rhs)
             new_vertices = vertices.copy()
             nv = new_vertices.reshape(-1)
             nv[free_flat] += delta

@@ -79,6 +79,22 @@ def test_levmar_matches_anm():
     require_tensor_eq(stat.vtx, v_anm, 1e-6, msg="levmar vs anm")
 
 
+def test_levmar_sparse_path(monkeypatch):
+    # force the CSR branch (production meshes all exceed the dense
+    # threshold; reference LevMar is always sparse, baseline/main.cpp:392)
+    em = EnergyModel.NEOHOOKEAN_C
+    body, f_load = make_problem()
+    desc = (em, MATERIAL)
+    monkeypatch.setattr(baseline, "_SPARSE_THRESHOLD", 1)
+    stat = baseline.solve_force_equ_levmar(
+        body.mesh.tets, body.mesh.vertices, f_load,
+        body.coord_fixed_mask, desc, RMS_THRESH_FORCE_EQU,
+    )
+    assert stat.grad_rms < RMS_THRESH_FORCE_EQU
+    v_anm = anm_solution(body, f_load, em)
+    require_tensor_eq(stat.vtx, v_anm, 1e-6, msg="levmar sparse vs anm")
+
+
 def test_hessian_finite_difference():
     # port of the reference FD Hessian checker (hcheck.cpp:6-77)
     body, _ = make_problem()
