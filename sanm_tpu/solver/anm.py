@@ -379,10 +379,15 @@ class _ANMDriverBase:
             # two n^2 triangular passes + one element matvec, the
             # dominant per-order cost of dense_chol (17 passes/order at
             # refine=8 is why it lost to host_lu at bob scale, RESULTS
-            # r3); SANM_REFINE_STEPS is the measured-tuning knob
+            # r3); SANM_REFINE_STEPS caps the trips, and the solve now
+            # exits early on-device at SANM_REFINE_RTOL (measured 2-3
+            # trips typical, see chol_refine_solve)
             import os
 
             refine_steps = int(os.environ.get("SANM_REFINE_STEPS", "8"))
+        import os
+
+        refine_rtol = float(os.environ.get("SANM_REFINE_RTOL", "1e-12"))
         from ..taylor_scan import ScanEngine
         from .linear import (
             blocked_chol_solve,
@@ -466,7 +471,7 @@ class _ANMDriverBase:
         def order1(L, s, E, grad_t, xt0):
             xgt = chol_refine_solve(
                 L, s, E, grad_t, asm.element_matvec, refine_steps,
-                tri_solve=tri_solve,
+                tri_solve=tri_solve, rtol=refine_rtol,
             )
             t1 = 1.0 / jnp.sqrt(jnp.vdot(xgt, xgt) + 1.0)
             x1 = -t1 * xgt
@@ -483,7 +488,7 @@ class _ANMDriverBase:
             than the COO matvec — TPU gathers move at scalar speed."""
             xb = chol_refine_solve(
                 L, s, E, b, asm.element_matvec, refine_steps,
-                tri_solve=tri_solve,
+                tri_solve=tri_solve, rtol=refine_rtol,
             )
             tk = jnp.vdot(xb, x1) / denom
             xk = -tk * xgt - xb

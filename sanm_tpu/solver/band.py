@@ -22,19 +22,36 @@ MXU with static shapes:
   triangular solve, and one (s, w*s) x (w*s, w*s) MXU update — all
   static shapes, no data-dependent control flow.
 * **Backsolve (device, once per Taylor order)**: blocked forward /
-  backward substitution touching one (w*s, s) panel per step; the
-  whole factor streams through HBM once per solve (~0.7 GB at
-  armadillo scale vs 6.7 GB for the dense factor).
+  backward substitution touching one ((w+1)s, s) column panel per
+  step; the whole factor streams through HBM once per substitution
+  pass (~1.4 GB at armadillo scale vs 6.7 GB for the dense factor).
 
-Storage layout: block-row windows.  ``Lb[(i*s + r), c]`` holds
-``A[i*s + r, (i - w)*s + c]`` for block-row ``i``, i.e. each block row
-stores its ``(2w+1)s``-wide diagonal window.  The trailing update of
-block column ``j`` then lands at *contiguous* window columns of each
-affected block row, so the inner loop is w dense row-panel updates.
-Writes that fall logically above the diagonal land in the window's
-upper-scratch region, which no consumer reads (Cholesky semantics:
-lower triangle only — same convention as
-``SparseAssembler.assemble_dense_scaled_neg``).
+Two storage layouts are used:
+
+* **Working band (factorization carry)**: block-row windows over the
+  LOWER band only.  ``Bb[(i*s + r), c]`` holds
+  ``A[i*s + r, (i - w)*s + c]`` for block-row ``i``, i.e. each block
+  row stores its ``(w+1)s``-wide lower diagonal window (the matrix is
+  symmetric and Cholesky reads only the lower triangle, so the upper
+  nnz are simply not scattered).  The trailing update of block column
+  ``j`` lands at *contiguous* window columns of each affected block
+  row — for target row-block ``j+1+m`` only the ``p <= m`` column
+  blocks are in the lower triangle, a contiguous ``(m+1)s``-wide strip
+  (static width per unrolled ``m``).  This buffer is a transient
+  inside the factor program, carried through a ``lax.scan`` whose
+  per-step *outputs* are the factored column panels — outputs are
+  written into a preallocated stack, so the persistent factor is never
+  double-buffered the way a second loop carry would be.
+* **Factor output (persistent, read by every backsolve)**: block-
+  column panels ``Lc (nb, (w+1)s, s)`` — panel ``j`` stacks the
+  diagonal block ``L[j,j]`` (rows 0:s) over the w subdiagonal blocks
+  ``L[j+1+m, j]``.  Both substitution loops slice only the leading
+  axis, so XLA keeps ONE layout for the factor; the first (band-row)
+  design made the backward loop prefer the transposed layout and XLA
+  materialized a full 2.8 GB transposed copy of the factor per solve
+  (measured via ``memory_analysis`` at armadillo scale — the OOM /
+  HBM-traffic root cause).  The panel layout is also ~45% smaller
+  (no upper scratch): 1.4 GB vs 2.8 GB at armadillo n=40995.
 
 Precision mirrors :class:`~sanm_tpu.solver.linear.DeviceCholSolver`:
 f32 factorization (MXU) + f64 iterative refinement through the exact
@@ -93,12 +110,18 @@ class BandPlan:
         nb = -(-n // s)
         self.nb = nb
         self.nrow_tot = (nb + w) * s
-        self.W = (2 * w + 1) * s
+        self.W = (w + 1) * s
 
-        # assembly scatter: nnz entry e -> flat band position.  Window
-        # column of global (r', c') in block-row i = r'//s is
-        # c' - (i - w)*s; |c' - r'| <= bw <= w*s keeps it in [0, W).
-        flat = rp * self.W + (cp - (rp // s) * s + w * s)
+        # assembly scatter: LOWER-triangle nnz entry e -> flat band
+        # position.  Window column of global (r', c') in block-row
+        # i = r'//s is c' - (i - w)*s; for r' >= c' it lies in
+        # [0, (w+1)s) since r' - c' <= bw <= w*s.  The upper triangle
+        # is never scattered (symmetric input, Cholesky reads lower).
+        low = np.nonzero(rp >= cp)[0]
+        self.band_sel = low.astype(
+            np.int32 if r.size < 2**31 else np.int64
+        )
+        flat = rp[low] * self.W + (cp[low] - (rp[low] // s) * s + w * s)
         top = self.nrow_tot * self.W
         self.band_idx = (
             flat.astype(np.int32) if top < 2**31 else flat
@@ -109,11 +132,15 @@ class BandPlan:
         self.pad_idx = (
             padflat.astype(np.int32) if top < 2**31 else padflat
         )
-        # factor-diagonal gather (for the finite/indefinite check)
+        # factor-diagonal gather (for the finite/indefinite check),
+        # indexing the flattened column-panel factor Lc (nb, (w+1)s, s):
+        # dof d -> panel d//s, local row d%s, column d%s
         dr = np.arange(n, dtype=np.int64)
-        dflat = dr * self.W + (dr % s + w * s)
+        panel_sz = (w + 1) * s * s
+        dflat = (dr // s) * panel_sz + (dr % s) * s + (dr % s)
+        ftop = nb * panel_sz
         self.diag_idx = (
-            dflat.astype(np.int32) if top < 2**31 else dflat
+            dflat.astype(np.int32) if ftop < 2**31 else dflat
         )
         # permutation extended over the pad region (identity there),
         # for solves on chol_refine_solve's zero-extended RHS
@@ -125,6 +152,11 @@ class BandPlan:
         ).astype(self.perm_ext.dtype)
 
     def mem_bytes(self) -> int:
+        """Persistent factor bytes (column-panel layout, f32)."""
+        return 4 * self.nb * (self.w + 1) * self.s * self.s
+
+    def work_mem_bytes(self) -> int:
+        """Transient working-band bytes during factorization (f32)."""
         return 4 * self.nrow_tot * self.W
 
 
@@ -140,9 +172,10 @@ def assemble_band_scaled_neg(plan: BandPlan, asm, data):
     )
     d = jnp.abs(d)
     s = lax.rsqrt(jnp.where(d > 0, d, 1.0))
-    rows = jnp.asarray(asm.csr_rowidx)
-    cols = jnp.asarray(asm.csr_cols)
-    vals = (-(data * s[rows] * s[cols])).astype(jnp.float32)
+    sel = jnp.asarray(plan.band_sel)
+    rows = jnp.asarray(asm.csr_rowidx)[sel]
+    cols = jnp.asarray(asm.csr_cols)[sel]
+    vals = (-(data[sel] * s[rows] * s[cols])).astype(jnp.float32)
     flat = jnp.zeros((plan.nrow_tot * plan.W,), jnp.float32)
     flat = flat.at[jnp.asarray(plan.band_idx)].set(vals)
     flat = flat.at[jnp.asarray(plan.pad_idx)].set(1.0)
@@ -156,14 +189,24 @@ def band_cholesky(Bb, s_blk: int, w: int):
     block, solve the w subdiagonal panels against it, subtract the
     (w*s) x (w*s) outer product from the trailing windows.  The w inner
     updates are unrolled (w is a small static int).  NaNs from an
-    indefinite input propagate to the factor diagonal."""
+    indefinite input propagate to the factor diagonal.
+
+    Returns the factor in column-panel layout ``Lc (nb, (w+1)s, s)``
+    (see module docstring); the working band ``Bb`` is the scan carry
+    the compiler updates in place and frees at return — factored
+    panels leave the loop as scan outputs and are never written back
+    into it (right-looking elimination reads each panel exactly once,
+    at its own column step)."""
     nrow_tot, W = Bb.shape
     nb = nrow_tot // s_blk - w
 
-    def body(j, Bb):
+    def step(Bb, j):
         c0 = j * s_blk
         D = lax.dynamic_slice(Bb, (c0, w * s_blk), (s_blk, s_blk))
-        Ljj = jnp.linalg.cholesky(D)
+        # no symmetrize: the window stores only the lower triangle, the
+        # upper half of D is unscattered junk (jnp.linalg.cholesky
+        # would average it in)
+        Ljj = lax.linalg.cholesky(D, symmetrize_input=False)
         # subdiagonal panels: block (j+1+m, j) sits in block-row j+1+m
         # at window offset (w-1-m)*s
         P = jnp.stack([
@@ -177,50 +220,49 @@ def band_cholesky(Bb, s_blk: int, w: int):
             lambda Pm: jsl.solve_triangular(Ljj, Pm.T, lower=True).T
         )(P)
         # U[m] = T[m] @ [T_0 .. T_{w-1}]^T laid out as (s, w*s); block
-        # (j+1+m, j+1+p) sits at window offset (w+p-m)*s, so the whole
-        # strip lands contiguously at (w-m)*s.  Segments p > m fall in
-        # the upper-scratch region (never read).
+        # (j+1+m, j+1+p) sits at window offset (w-m+p)*s.  Only the
+        # p <= m blocks are in the lower band: a contiguous strip of
+        # static width (m+1)s starting at (w-m)s.
         U = jnp.einsum(
             "mab,pcb->mapc", T, T, precision="highest"
         ).reshape(w, s_blk, w * s_blk)
         for m in range(w):
             r0 = (j + 1 + m) * s_blk
             coff = (w - m) * s_blk
-            seg = lax.dynamic_slice(Bb, (r0, coff), (s_blk, w * s_blk))
-            Bb = lax.dynamic_update_slice(Bb, seg - U[m], (r0, coff))
+            width = (m + 1) * s_blk
+            seg = lax.dynamic_slice(Bb, (r0, coff), (s_blk, width))
             Bb = lax.dynamic_update_slice(
-                Bb, T[m], (r0, (w - 1 - m) * s_blk)
+                Bb, seg - U[m, :, :width], (r0, coff)
             )
-        return lax.dynamic_update_slice(Bb, Ljj, (c0, w * s_blk))
+        panel = jnp.concatenate(
+            [Ljj, T.reshape(w * s_blk, s_blk)], axis=0
+        )
+        return Bb, panel
 
-    return lax.fori_loop(0, nb, body, Bb)
+    return lax.scan(step, Bb, jnp.arange(nb))[1]
 
 
-def band_tri_solve(Lb, s_blk: int, w: int, rhs):
-    """``(L L^T)^{-1} rhs`` through the band factor: blocked forward
-    then backward substitution, one (w*s, s) panel matvec per step.
+def band_tri_solve(Lc, s_blk: int, w: int, rhs):
+    """``(L L^T)^{-1} rhs`` through the column-panel factor: blocked
+    forward then backward substitution, one ((w+1)s, s) panel per step.
     ``rhs`` is the full padded vector (``nrow_tot``,) in PERMUTED
     ordering; pad entries solve to exact zeros (unit diagonal, zero
-    panels)."""
-    nrow_tot, W = Lb.shape
-    nb = nrow_tot // s_blk - w
+    panels).  Both loops slice ``Lc`` only along axis 0, so the factor
+    keeps a single layout (no transposed-copy materialization — see
+    module docstring)."""
+    nb = Lc.shape[0]
 
-    def panels(j):
-        P = jnp.stack([
-            lax.dynamic_slice(
-                Lb, ((j + 1 + m) * s_blk, (w - 1 - m) * s_blk),
-                (s_blk, s_blk),
-            )
-            for m in range(w)
-        ])
-        return P.reshape(w * s_blk, s_blk)
+    def panel(j):
+        Pf = lax.dynamic_slice(
+            Lc, (j, 0, 0), (1, (w + 1) * s_blk, s_blk)
+        )[0]
+        return Pf[:s_blk], Pf[s_blk:]
 
     def fwd(j, r):
         c0 = j * s_blk
-        Ljj = lax.dynamic_slice(Lb, (c0, w * s_blk), (s_blk, s_blk))
+        Ljj, Pm = panel(j)
         rj = lax.dynamic_slice(r, (c0,), (s_blk,))
         yj = jsl.solve_triangular(Ljj, rj, lower=True)
-        Pm = panels(j)
         seg = lax.dynamic_slice(r, (c0 + s_blk,), (w * s_blk,))
         r = lax.dynamic_update_slice(r, seg - Pm @ yj, (c0 + s_blk,))
         return lax.dynamic_update_slice(r, yj, (c0,))
@@ -230,11 +272,10 @@ def band_tri_solve(Lb, s_blk: int, w: int, rhs):
     def bwd(jj, y):
         j = nb - 1 - jj
         c0 = j * s_blk
-        Ljj = lax.dynamic_slice(Lb, (c0, w * s_blk), (s_blk, s_blk))
-        Pm = panels(j)
+        Ljj, Pm = panel(j)
         xs = lax.dynamic_slice(y, (c0 + s_blk,), (w * s_blk,))
-        yj = lax.dynamic_slice(y, (c0,), (s_blk,)) - Pm.T @ xs
-        xj = jsl.solve_triangular(Ljj.T, yj, lower=False)
+        yj = lax.dynamic_slice(y, (c0,), (s_blk,)) - xs @ Pm
+        xj = jsl.solve_triangular(Ljj, yj, lower=True, trans=1)
         return lax.dynamic_update_slice(y, xj, (c0,))
 
     return lax.fori_loop(0, nb, bwd, y)
@@ -249,9 +290,12 @@ def band_tri_solve_fn(plan: BandPlan):
     matvec runs in original ordering)."""
     s_blk, w = plan.s, plan.w
 
-    def tri(Lb, rf):
+    def tri(Lc, rf):
+        pad = plan.nrow_tot - rf.shape[0]
+        if pad:  # zero-extend to the padded length (exact-zero solves)
+            rf = jnp.concatenate([rf, jnp.zeros((pad,), rf.dtype)])
         rfp = rf[jnp.asarray(plan.perm_ext)]
-        yp = band_tri_solve(Lb, s_blk, w, rfp)
+        yp = band_tri_solve(Lc, s_blk, w, rfp)
         return yp[jnp.asarray(plan.invp_ext)]
 
     return tri
