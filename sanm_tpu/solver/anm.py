@@ -695,25 +695,28 @@ class _ANMDriverBase:
     def _splu_factorize(self, A, pen):
         """Sparse LU returning a ``solve(b)`` closure.
 
-        Ordering: default COLAMD — measured 1.7 s vs 6.5 s for
-        MMD_AT_PLUS_A on the armadillo stiffness (the real tet
-        adjacency favors COLAMD).  A PARDISO-style analyze-once reuse
-        (cache ``argsort(lu.perm_c)``, pre-permute, NATURAL ordering)
-        was measured a wash (``scripts/splu_reuse_probe.py``: identical
-        LU fill, 0.397 s vs 0.368 s at n=13.7k) — scipy's COLAMD phase
-        is a negligible slice of ``splu``, so the reference's
+        Ordering: SuperLU SymmetricMode with validated COLAMD fallback
+        — see :func:`~sanm_tpu.solver.linear.host_splu` for the
+        measured trade (2.3x faster factorization when the threshold
+        pivots hold, one extra backsolve to check that they did).
+        A PARDISO-style analyze-once reuse (cache ``argsort(perm_c)``,
+        pre-permute, NATURAL ordering) was measured a wash
+        (``scripts/splu_reuse_probe.py``: identical LU fill, 0.397 s
+        vs 0.368 s at n=13.7k) — scipy's ordering phase is a
+        negligible slice of ``splu``, so that half of the reference's
         analyze/factorize split (``libsanm/sparse_solver.cpp:327-421``)
         has nothing left to save here and is intentionally absent."""
         import scipy.sparse as sp
-        import scipy.sparse.linalg as spla
+
+        from .linear import host_splu
 
         if pen:
             G = (A.T @ A).tocsc() + pen * sp.identity(
                 self.n, format="csc"
             )
-            lu = spla.splu(G)
+            lu = host_splu(G)
             return lambda b: lu.solve(A.T @ b)
-        return spla.splu(A.tocsc()).solve
+        return host_splu(A.tocsc()).solve
 
     def _expand_hybrid(self, xt0_np, v_np):
         """Full expansion with host-side sparse direct solves."""
