@@ -978,12 +978,69 @@ class _ANMDriverBase:
             # small systems; otherwise host sparse LU (hybrid loop),
             # which is also what large systems need for O(nnz) memory.
             strict_f64 = jax.default_backend() == "cpu"
-            mode = (
-                "dense"
-                if strict_f64 and self.n <= self.hp.dense_limit
-                else "host_lu"
-            )
+            if strict_f64 and self.n <= self.hp.dense_limit:
+                mode = "dense"
+            elif not strict_f64 and self._band_auto_ok():
+                # device-resident banded Cholesky in its measured
+                # winning regime (see _band_auto_ok)
+                mode = "band_chol"
+            else:
+                mode = "host_lu"
         return mode
+
+    def _band_auto_ok(self):
+        """Whether ``auto`` should take the on-device banded Cholesky
+        (``solver/band.py``) instead of host sparse LU.
+
+        Measured regime (TPU v5e, column-panel factor, warm re-solve;
+        cells ``results_tpu/*-sanm_band-gravity``): band_chol WINS at
+        bob scale (n=23097, RCM semi-bandwidth b=3350, n*b^2=2.6e14:
+        9.3 s vs host_lu 14.6 s) and ties at bar (n=4k: 9.2 vs 9.0 s),
+        but LOSES once the band is fat (armadillo-small n=40995,
+        b=6104, n*b^2=1.5e15: 42.5 s vs 16.5 s — the O(n*b^2) factor
+        FLOPs overtake a ~1 s host factorization).  The threshold
+        4e14 sits above bob with margin and well below armadillo.
+        The RCM bandwidth probe is a cheap host-side pure function of
+        the topology-static sparsity (one scipy RCM + an nnz max,
+        ~10 ms at armadillo scale), cached per solver instance.
+        ``SANM_BAND_AUTO=0`` restores the round-3 auto behavior
+        (always host_lu on accelerators).  Explicit ``solver=``
+        config / ``SANM_SOLVER`` bypass auto entirely."""
+        import os
+
+        cached = getattr(self, "_band_auto", None)
+        if cached is not None:
+            return cached
+        ok = False
+        if (
+            os.environ.get("SANM_BAND_AUTO", "1") != "0"
+            and not self.hp.xcoeff_l2_penalty
+        ):
+            try:
+                import scipy.sparse as sp
+                from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+                asm = self._assembler()
+                n = self.n
+                pat = sp.csr_matrix(
+                    (
+                        np.ones(len(asm.csr_rowidx), np.float32),
+                        (asm.csr_rowidx, asm.csr_cols),
+                    ),
+                    shape=(n, n),
+                )
+                perm = np.asarray(
+                    reverse_cuthill_mckee(pat, symmetric_mode=True)
+                )
+                invp = np.empty(n, np.int64)
+                invp[perm] = np.arange(n)
+                coo = pat.tocoo()
+                b = int(np.abs(invp[coo.row] - invp[coo.col]).max())
+                ok = n * float(b) * float(b) <= 4.0e14
+            except Exception:
+                ok = False
+        self._band_auto = ok
+        return ok
 
     def _make_solver(self, asm, data):
         """Factorize once per continuation step (reference

@@ -300,3 +300,63 @@ def test_implicit_solver_devloop(dev_mode):
         (np.asarray(xt) + dx) ** 1.5, x0**1.5, 1e-4,
         msg="implicit " + dev_mode,
     )
+
+
+def test_host_splu_symmetric_and_fallback(monkeypatch):
+    """``host_splu`` (the PARDISO-symmetric-mtype analog): the
+    SymmetricMode fast path must hold full f64 accuracy on a healthy
+    near-SPD system, fall back to COLAMD when its threshold pivots
+    lose digits, and honor the ``SANM_SPLU_SYM=0`` opt-out."""
+    import scipy.sparse as sp
+
+    from sanm_tpu.solver.linear import host_splu
+
+    rng = np.random.default_rng(5)
+    n = 300
+    A = sp.random(n, n, density=0.03, random_state=7)
+    A = (A + A.T).tocsc() + sp.identity(n) * 8.0
+    b = rng.standard_normal(n)
+    x = host_splu(A).solve(b)
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-12
+
+    # near-singular diagonal: symmetric mode's 0.001-threshold pivots
+    # degrade below the 1e-12 validation gate -> COLAMD fallback must
+    # still deliver a usable solve
+    B = (sp.random(n, n, density=0.03, random_state=8))
+    B = (B + B.T).tocsc() + sp.diags(rng.standard_normal(n) * 1e-9)
+    xb = host_splu(B).solve(b)
+    assert np.isfinite(xb).all()
+    assert np.linalg.norm(B @ xb - b) / np.linalg.norm(b) < 1e-8
+
+    monkeypatch.setenv("SANM_SPLU_SYM", "0")
+    x0 = host_splu(A).solve(b)
+    assert np.linalg.norm(A @ x0 - b) / np.linalg.norm(b) < 1e-12
+
+
+def test_band_auto_heuristic(monkeypatch):
+    """``auto``'s band_chol dispatch: the RCM-bandwidth probe must
+    accept the measured-winning regime (n*b^2 below threshold — any
+    small test mesh qualifies) and be disabled by ``SANM_BAND_AUTO=0``.
+    The backend gate itself (TPU-only) is exercised by asserting the
+    CPU-backend auto mode never returns band_chol."""
+    body, f_load = make_problem()
+    model = body.make_forward(EnergyModel.NEOHOOKEAN_C)
+    f_sub = model.lt_inp.copy_vtx_values(f_load)
+    hp = EqnHyperParam(order=6, solver="auto", dense_limit=1)
+    s = ANMEqnSolver(
+        model.fn, model.lt_inp.remap, model.lt_out.remap, model.x0(),
+        f_sub, hp,
+    )
+    assert s._band_auto_ok() is True
+    # cached decision
+    assert s._band_auto is True
+    # CPU backend (tests force it): auto must resolve to host_lu even
+    # though the band heuristic accepts
+    assert s._solver_mode() == "host_lu"
+
+    monkeypatch.setenv("SANM_BAND_AUTO", "0")
+    s2 = ANMEqnSolver(
+        model.fn, model.lt_inp.remap, model.lt_out.remap, model.x0(),
+        f_sub, hp,
+    )
+    assert s2._band_auto_ok() is False
