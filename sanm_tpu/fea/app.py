@@ -341,8 +341,13 @@ def run_and_save(
     # (fea/main.cpp:428-429); SPMD replaces intra-process threading
     import jax
 
+    # "threads" keeps the reference stat-JSON key (fea/main.cpp:276-296)
+    # but counts accelerator devices, NOT CPU threads — comparisons
+    # against reference logs must not read it as a thread count
+    # (threads_semantics makes the unit machine-checkable).
     jstat["threads"] = jax.device_count()
     jstat["solver_threads"] = jax.device_count()
+    jstat["threads_semantics"] = "jax_device_count"
     jstat["solver_backend"] = hp.solver
     jstat["solver_resolved"] = solver._solver_mode()
     jstat["loop_resolved"] = solver._loop_mode()
