@@ -1,0 +1,45 @@
+#!/bin/bash
+# Round-4 chain, wave e — runs after r4d completes (or is preempted).
+# 1: the never-measured problem-size scaling curves (band vs host_lu on
+#    the constant-bandwidth growing beam — the TPU-native counterpart of
+#    the reference thread-scalability experiment, see
+#    scripts/run_size_scaling.py header);
+# 2: re-issues r4d stage G (done-marker gated, so only missing
+#    baseline-column cells actually run).
+#
+# Run detached, strictly solo (1-core host + 1 TPU chip):
+#   nohup bash scripts/r4e_chain.sh [WAIT_PID] > /tmp/r4e_chain.log 2>&1 &
+#   echo $! > /tmp/r4e_chain.pid
+set -x
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD:$PYTHONPATH"
+RT=results_tpu
+
+if [ -n "$1" ]; then
+  while kill -0 "$1" 2>/dev/null; do sleep 20; done
+fi
+
+# -- A: size scaling, device band factor then host LU ------------------------
+[ -f $RT/size_scaling_band.json ] || \
+python scripts/run_size_scaling.py --xs 20 80 320 --solver band_chol \
+  --timeout 3600 --out $RT/size_scaling_band.json || true
+[ -f $RT/size_scaling_hostlu.json ] || \
+python scripts/run_size_scaling.py --xs 20 80 320 --solver host_lu \
+  --timeout 3600 --out $RT/size_scaling_hostlu.json || true
+
+# -- B: r4d stage G remainder (gated; no-ops on done cells) -------------------
+python scripts/run_experiments.py --out $RT \
+  --meshes bar --energies neohookean_c arap \
+  --solvers baseline_levmar --tasks gravity --cell-timeout 3600 || true
+python scripts/run_experiments.py --out $RT \
+  --meshes bob --energies neohookean_c arap \
+  --solvers baseline_noproj --tasks gravity --cell-timeout 4500 || true
+python scripts/run_experiments.py --out $RT \
+  --meshes bob --energies neohookean_c \
+  --solvers baseline_levmar --tasks gravity --cell-timeout 3600 || true
+python scripts/run_experiments.py --out $RT \
+  --meshes armadillo_small bob --energies arap \
+  --solvers baseline_levmar --tasks gravity --cell-timeout 3600 || true
+
+touch $RT/.r4e_complete
+echo "R4E CHAIN COMPLETE"
