@@ -19,6 +19,17 @@ if [ -n "$1" ]; then
   while kill -0 "$1" 2>/dev/null; do sleep 20; done
 fi
 
+# -- A0: re-measure the armadillo NHC Pade deform cell — its r4d warm leg
+#        (214 s vs 53 s for the no-Pade twin) overlapped builder pytest
+#        runs on the 1-core host and is contention-skewed -------------------
+if [ ! -f $RT/.r4e_nhc_deform_rewiped ]; then
+  rm -rf $RT/armadillo_small-neohookean_c-sanm-deform
+  touch $RT/.r4e_nhc_deform_rewiped
+fi
+python scripts/run_experiments.py --out $RT \
+  --meshes armadillo_small --energies neohookean_c --solvers sanm \
+  --tasks deform --cell-timeout 5400 || true
+
 # -- A: size scaling, device band factor then host LU ------------------------
 [ -f $RT/size_scaling_band.json ] || \
 python scripts/run_size_scaling.py --xs 20 80 320 --solver band_chol \
