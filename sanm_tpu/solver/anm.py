@@ -969,6 +969,11 @@ class _ANMDriverBase:
         return self._asm
 
     def _solver_mode(self):
+        # sticky per-solve fallback set when a devloop expansion fails
+        # its numerical checks (see solve_expansion_coeffs)
+        ov = getattr(self, "_solver_override", None)
+        if ov is not None:
+            return ov
         mode = self.hp.solver
         if mode == "auto":
             # the in-graph dense factorization (f32 QR + refinement) is
@@ -993,13 +998,17 @@ class _ANMDriverBase:
         (``solver/band.py``) instead of host sparse LU.
 
         Measured regime (TPU v5e, column-panel factor, warm re-solve;
-        cells ``results_tpu/*-sanm_band-gravity``): band_chol WINS at
-        bob scale (n=23097, RCM semi-bandwidth b=3350, n*b^2=2.6e14:
-        9.3 s vs host_lu 14.6 s) and ties at bar (n=4k: 9.2 vs 9.0 s),
-        but LOSES once the band is fat (armadillo-small n=40995,
-        b=6104, n*b^2=1.5e15: 42.5 s vs 16.5 s — the O(n*b^2) factor
-        FLOPs overtake a ~1 s host factorization).  The threshold
-        4e14 sits above bob with margin and well below armadillo.
+        cells ``results_tpu/*-sanm_band-gravity`` + shootouts):
+        band_chol WINS at bob scale (n=23097, RCM semi-bandwidth
+        b=3350, n*b^2=2.6e11: 9.0-9.3 s vs host_lu 12.5-14.6 s) and
+        ties at bar (n=13656: 9.2 vs 9.0 s), but LOSES once the band
+        is fat (armadillo-small n=40995, b=6104, n*b^2=1.5e12:
+        42.5 s vs 16.5 s — the O(n*b^2) factor FLOPs overtake a ~1 s
+        host factorization), and on jet (n=36987, b~3893,
+        n*b^2=5.6e11, NHI) the f32 band factor fails the
+        orthogonality checks outright (solve_expansion_coeffs then
+        falls back to host LU, paying both).  The threshold 4e11
+        admits bob with margin and excludes jet and armadillo.
         The RCM bandwidth probe is a cheap host-side pure function of
         the topology-static sparsity (one scipy RCM + an nnz max,
         ~10 ms at armadillo scale), cached per solver instance.
@@ -1036,7 +1045,7 @@ class _ANMDriverBase:
                 invp[perm] = np.arange(n)
                 coo = pat.tocoo()
                 b = int(np.abs(invp[coo.row] - invp[coo.col]).max())
-                ok = n * float(b) * float(b) <= 4.0e14
+                ok = n * float(b) * float(b) <= 4.0e11
             except Exception:
                 ok = False
         self._band_auto = ok
@@ -1112,25 +1121,30 @@ class _ANMDriverBase:
                     self._expand_and_check()
                 elif (
                     self._loop_mode() == "hybrid"
-                    and self._pass_dtype() == jnp.float32
-                    and getattr(self, "_f64_retry", True)
+                    and self._solver_mode() in ("dense_chol", "band_chol")
                 ):
-                    # mixed-precision expansion went non-finite or
-                    # failed its checks (rare, extreme-distortion ARAP
-                    # states): redo this one restart with f64 passes —
-                    # the same error-correction philosophy as the
-                    # reference's restarts (libsanm/anm.cpp:464-491)
-                    self._dtype_override = "f64"
-                    self._hyb = None
-                    self._devfns = None
+                    # the f32-factor devloop passed its isfinite gate
+                    # but the expansion failed the order checks — the
+                    # factor itself can be the weak link (measured: jet
+                    # NHI gravity violates orthogonality at 1.8e-2
+                    # through the band factor while host LU solves it;
+                    # the f64 graph retry alone cannot fix a solver
+                    # problem).  Fall back to exact host sparse LU for
+                    # the REST of this solve (sticky), then escalate to
+                    # the f64 graph retry if the failure persists.
+                    if verbose_mode():
+                        print(
+                            "%s expansion failed checks; host-LU "
+                            "fallback" % self._solver_mode()
+                        )
+                    self._solver_override = "host_lu"
+                    self._fact_dev = None
                     try:
                         self._expand_and_check()
-                    finally:
-                        self._dtype_override = None
-                        self._hyb = None
-                        self._devfns = None
+                    except SANMNumericalError:
+                        self._retry_f64()
                 else:
-                    raise
+                    self._retry_f64()
         self._iter += 1
         if verbose_mode():
             print(
@@ -1145,6 +1159,30 @@ class _ANMDriverBase:
                     ],
                 )
             )
+
+    def _retry_f64(self):
+        """Redo the current restart with f64 graph passes — the
+        mixed-precision expansion went non-finite or failed its checks
+        (rare, extreme-distortion ARAP states); same error-correction
+        philosophy as the reference's restarts
+        (``libsanm/anm.cpp:464-491``).  Re-raises the active
+        SANMNumericalError when the retry is not applicable (already
+        f64, non-hybrid loop, or disabled)."""
+        if not (
+            self._loop_mode() == "hybrid"
+            and self._pass_dtype() == jnp.float32
+            and getattr(self, "_f64_retry", True)
+        ):
+            raise
+        self._dtype_override = "f64"
+        self._hyb = None
+        self._devfns = None
+        try:
+            self._expand_and_check()
+        finally:
+            self._dtype_override = None
+            self._hyb = None
+            self._devfns = None
 
     def _expand_and_check(self):
         hp = self.hp

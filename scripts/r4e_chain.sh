@@ -30,6 +30,17 @@ python scripts/run_experiments.py --out $RT \
   --meshes armadillo_small --energies neohookean_c --solvers sanm \
   --tasks deform --cell-timeout 5400 || true
 
+# -- A1: jet NHI gravity — the r4d run hit the band-factor orthogonality
+#        failure (auto threshold mis-calibration, fixed + fallback added);
+#        re-run with the corrected dispatch (jet now resolves host_lu) ------
+if [ ! -f $RT/.r4e_jet_rewiped ]; then
+  rm -rf $RT/jet-neohookean_i-sanm-gravity
+  touch $RT/.r4e_jet_rewiped
+fi
+python scripts/run_experiments.py --out $RT \
+  --meshes jet --energies neohookean_i --solvers sanm --tasks gravity \
+  --cell-timeout 5400 || true
+
 # -- A: size scaling, device band factor then host LU ------------------------
 [ -f $RT/size_scaling_band.json ] || \
 python scripts/run_size_scaling.py --xs 20 80 320 --solver band_chol \

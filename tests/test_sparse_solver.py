@@ -360,3 +360,48 @@ def test_band_auto_heuristic(monkeypatch):
         f_sub, hp,
     )
     assert s2._band_auto_ok() is False
+
+
+def test_devloop_numerical_fallback():
+    """A devloop (band_chol/dense_chol) expansion that fails the
+    order/orthogonality sanity checks must fall back to exact host LU
+    for the rest of the solve instead of raising — the production
+    safety net behind auto's band dispatch (measured trigger: jet NHI
+    gravity, where the f32 band factor violates orthogonality at
+    1.8e-2 while host LU solves the same system)."""
+    body, f_load = make_problem()
+    model = body.make_forward(EnergyModel.NEOHOOKEAN_C)
+    f_sub = model.lt_inp.copy_vtx_values(f_load)
+    hp = EqnHyperParam(order=8, solver="band_chol", loop="hybrid")
+    hp.converge_rms = RMS_THRESH_FORCE_EQU
+    s = ANMEqnSolver(
+        model.fn, model.lt_inp.remap, model.lt_out.remap, model.x0(),
+        f_sub, hp,
+    )
+    orig = s._expand_hybrid_devloop
+    calls = {"n": 0}
+
+    def corrupting(xt0_np, v_np):
+        calls["n"] += 1
+        out = orig(xt0_np, v_np)
+        if out is None:
+            return None
+        coeffs, diag = out
+        bad = coeffs.copy()
+        bad[2:] += 7.0  # breaks orthogonality against x1
+        return bad, diag
+
+    s._expand_hybrid_devloop = corrupting
+    got = np.asarray(run_anm_eqn(s, progress=False))
+    assert calls["n"] == 1, "fallback must be sticky (devloop not retried)"
+    assert s._solver_override == "host_lu"
+    assert s._solver_mode() == "host_lu"
+
+    ref_hp = EqnHyperParam(order=8, solver="host_lu", loop="hybrid")
+    ref_hp.converge_rms = RMS_THRESH_FORCE_EQU
+    s2 = ANMEqnSolver(
+        model.fn, model.lt_inp.remap, model.lt_out.remap, model.x0(),
+        f_sub, ref_hp,
+    )
+    ref = np.asarray(run_anm_eqn(s2, progress=False))
+    require_tensor_eq(got, ref, 1e-7, msg="fallback vs host_lu")
