@@ -297,6 +297,56 @@ def main():
         except Exception as e:  # pragma: no cover
             print("  (plot skipped: %s)" % e)
 
+    # problem-size scaling curves (run_size_scaling.py; the TPU-native
+    # counterpart of the reference thread-scalability figure): one
+    # combined plot over every size_scaling_*.json found
+    size_files = sorted(glob.glob(os.path.join(root, "size_scaling_*.json")))
+    series = []
+    for sf in size_files:
+        try:
+            data = json.load(open(sf))
+        except Exception:
+            continue
+        rows = [r for r in data.get("rows", [])
+                if r.get("warm_s") and not r.get("error")]
+        if not rows:
+            continue
+        label = data.get("solver", os.path.basename(sf))
+        series.append((label, rows))
+        print(f"\nsize scaling ({os.path.basename(sf)}, "
+              f"{data.get('energy')}, order {data.get('order')}):")
+        for r in rows:
+            print(f"  n={r['n_dofs']:>7} ({r['n_tets']} tets): "
+                  f"warm={r['warm_s']:.2f}s cold={r['cold_s']:.1f}s "
+                  f"iters={r['iters']} rms={r['force_rms']:.1e}")
+    if series:
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(4.5, 3.2))
+            for label, rows in series:
+                ns = [r["n_dofs"] for r in rows]
+                ts = [r["warm_s"] for r in rows]
+                ax.plot(ns, ts, "o-", label=label)
+            n0, t0 = series[0][1][0]["n_dofs"], series[0][1][0]["warm_s"]
+            nmax = max(r["n_dofs"] for _, rows in series for r in rows)
+            ax.plot([n0, nmax], [t0, t0 * nmax / n0], "k--",
+                    alpha=0.5, label="O(n)")
+            ax.set_xlabel("unknowns n (constant bandwidth)")
+            ax.set_ylabel("warm time_solve (s)")
+            ax.set_xscale("log")
+            ax.set_yscale("log")
+            ax.legend(fontsize=8)
+            fig.tight_layout()
+            out = os.path.join(root, "size_scaling.png")
+            fig.savefig(out, dpi=120)
+            print(f"  plot: {out}")
+        except Exception as e:  # pragma: no cover
+            print("  (plot skipped: %s)" % e)
+
     # sparse-solver share of solve time (gen_table_figs.py:328-339)
     shares = []
     for name in sorted(cells):
