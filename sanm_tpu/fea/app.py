@@ -324,7 +324,7 @@ def run_and_save(
                 "sparse_prep"
             ) + ScopedProfiler.total("sparse_solve")
             runs.append((tw, (sp1 - sp0) / tw if sp1 > sp0 else None))
-        best = min(runs)
+        best = min(runs, key=lambda r: r[0])
         jstat["time_solve_warm"] = best[0]
         jstat["warm_samples"] = [round(r[0], 4) for r in runs]
         if best[1] is not None:

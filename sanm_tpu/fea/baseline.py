@@ -498,7 +498,20 @@ def solve_force_equ_levmar(
             damped = HtH.copy()
             if sparse:
                 damped.setdiag(diag * (1 + damp))
-                delta = spla.splu(damped.tocsc()).solve(rhs)
+                try:
+                    delta = spla.splu(damped.tocsc()).solve(rhs)
+                except RuntimeError:
+                    # singular damped normal matrix: treat like a
+                    # rejected trial step so the damping search raises
+                    # damp (the dense branch's LinAlgError analog)
+                    damp *= damp_k
+                    if search_cnt >= 50:
+                        stat.grad_rms = energy
+                        stat.dx = -1
+                        stat.tot_time = timer.stop().time()
+                        stat.vtx = vertices
+                        return stat
+                    continue
             else:
                 np.fill_diagonal(damped, diag * (1 + damp))
                 try:

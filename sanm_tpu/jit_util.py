@@ -54,7 +54,14 @@ class _HoistedJit:
     def __call__(self, *args):
         key = _sig(args)
         entry = self._cache.get(key)
+        log = None
         if entry is None:
+            import os
+            import time as _time
+
+            if os.environ.get("SANM_COMPILE_LOG"):
+                log = [getattr(self._fn, "__name__", "<fn>"),
+                       _time.perf_counter()]
             closed, out_shape = jax.make_jaxpr(
                 self._fn, return_shape=True
             )(*args)
@@ -88,7 +95,23 @@ class _HoistedJit:
             entry = (jitted, consts, out_tree)
             self._cache[key] = entry
         jitted, consts, out_tree = entry
-        flat_out = jitted(*tree_util.tree_leaves(args), *consts)
+        if log is not None:
+            import sys
+            import time as _time
+
+            t_trace = _time.perf_counter()
+            flat_out = jitted(*tree_util.tree_leaves(args), *consts)
+            jax.block_until_ready(flat_out)
+            t_done = _time.perf_counter()
+            neqn = len(jaxpr.eqns)
+            print(
+                "[compile] %-18s trace=%6.2fs compile+run1=%7.2fs "
+                "eqns=%d" % (log[0], t_trace - log[1], t_done - t_trace,
+                             neqn),
+                file=sys.stderr, flush=True,
+            )
+        else:
+            flat_out = jitted(*tree_util.tree_leaves(args), *consts)
         return tree_util.tree_unflatten(out_tree, flat_out)
 
 

@@ -11,9 +11,14 @@ engine.  It is exposed for parity with the reference library API:
 
 * m <= 4 uses the permutation expansion with series convolution
   (reference ``tensor_polymat.cpp:201-341``);
-* larger m evaluates the series at roots of unity, takes batched complex
-  determinants, and inverse-DFTs (reference FFT path,
-  ``tensor_polymat.cpp:30-136``).
+* larger m runs Faddeev-LeVerrier / Newton's identities over the
+  truncated power-series ring: power sums p_j = tr(X(a)^j) as series,
+  then e_k = (1/k) sum_j (-1)^{j-1} e_{k-j} p_j with det = e_m.  The
+  reference instead evaluates at complex roots of unity and
+  inverse-DFTs (``tensor_polymat.cpp:30-136``) — complex arithmetic
+  does not exist on TPU (C64/C128 unsupported), so the series-ring
+  formulation is the TPU-native equivalent: all real f64, batched
+  matmuls, exact for polynomials (no interpolation conditioning).
 """
 
 from __future__ import annotations
@@ -92,25 +97,55 @@ def polymat_det_coeff(mats, order: int):
             total = jnp.zeros((B,), mats[0].dtype)
         return total
 
-    # FFT path: det is a polynomial of degree <= (L-1)*m
-    deg = (L - 1) * m
-    K = 1
-    while K < deg + 1:
-        K *= 2
-    omega = np.exp(2j * np.pi / K)
-    # evaluate at K roots of unity
-    coeffs = jnp.zeros((B,), jnp.complex128)
-    pts = []
-    stack = jnp.stack([m_.astype(jnp.complex128) for m_ in mats])  # (L,B,m,m)
-    powers = np.array(
-        [[omega ** (j * t) for t in range(L)] for j in range(K)]
-    )  # (K, L)
-    for j in range(K):
-        acc = jnp.einsum(
-            "t,tbij->bij", jnp.asarray(powers[j]), stack
+    # m > 4: Faddeev-LeVerrier over the truncated series ring.  All
+    # coefficients beyond `order` are irrelevant to the answer, so every
+    # series is truncated at K = order.
+    K = order
+    dtype = mats[0].dtype
+    zero = jnp.zeros((B, m, m), dtype)
+    X = [mats[i] if i < L else zero for i in range(K + 1)]  # (K+1)(B,m,m)
+
+    def smm(A, C):
+        """Series matmul, truncated at order K."""
+        return [
+            sum(
+                jnp.einsum(
+                    "bij,bjk->bik", A[i], C[k - i], precision="highest"
+                )
+                for i in range(k + 1)
+            )
+            for k in range(K + 1)
+        ]
+
+    def sconv(a, c):
+        """Series product of scalar series (lists of (B,))."""
+        return [
+            sum(a[i] * c[k - i] for i in range(k + 1))
+            for k in range(K + 1)
+        ]
+
+    # power sums p_j = tr(X^j) as series, j = 1..m
+    p = []
+    cur = X
+    for j in range(1, m + 1):
+        if j > 1:
+            cur = smm(cur, X)
+        p.append(
+            [jnp.trace(c, axis1=-2, axis2=-1) for c in cur]
         )
-        pts.append(jnp.linalg.det(acc))
-    pts = jnp.stack(pts, axis=0)  # (K, B)
-    idft = np.array([omega ** (-order * j) for j in range(K)]) / K
-    coeffs = jnp.einsum("k,kb->b", jnp.asarray(idft), pts)
-    return jnp.real(coeffs)
+    # Newton's identities: e_0 = 1; e_k = (1/k) sum_{j<=k} (-1)^{j-1}
+    # e_{k-j} p_j; det = e_m
+    one = [jnp.ones((B,), dtype)] + [jnp.zeros((B,), dtype)] * K
+    e = [one]
+    for kk in range(1, m + 1):
+        acc = None
+        for j in range(1, kk + 1):
+            t = sconv(e[kk - j], p[j - 1])
+            sgn = 1.0 if j % 2 == 1 else -1.0
+            acc = (
+                [sgn * ti for ti in t]
+                if acc is None
+                else [ai + sgn * ti for ai, ti in zip(acc, t)]
+            )
+        e.append([ai / kk for ai in acc])
+    return e[m][order]

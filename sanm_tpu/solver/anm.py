@@ -469,9 +469,18 @@ class _ANMDriverBase:
                 return L, s, ok
 
         def order1(L, s, E, grad_t, xt0):
-            xgt = chol_refine_solve(
+            # the first backsolve doubles as the factor-quality
+            # pre-gate: its f64-refined relative residual is ~rtol
+            # through a healthy factor and stalls orders of magnitude
+            # higher through a numerically bad one (measured: the f32
+            # band factor on jet NHI violates the downstream
+            # orthogonality checks at 1.8e-2) — scoring it here lets
+            # the caller fall back to host LU for the cost of one
+            # backsolve instead of a full failed expansion
+            # (VERDICT r4 item 4)
+            xgt, gate = chol_refine_solve(
                 L, s, E, grad_t, asm.element_matvec, refine_steps,
-                tri_solve=tri_solve, rtol=refine_rtol,
+                tri_solve=tri_solve, rtol=refine_rtol, with_resid=True,
             )
             t1 = 1.0 / jnp.sqrt(jnp.vdot(xgt, xgt) + 1.0)
             x1 = -t1 * xgt
@@ -479,7 +488,7 @@ class _ANMDriverBase:
             xt1 = jnp.concatenate([x1, t1[None]])
             XT = jnp.zeros((order + 1, n + 1), jnp.float64)
             XT = XT.at[0].set(xt0).at[1].set(xt1)
-            return xgt, x1, denom, xt1, XT
+            return xgt, x1, denom, xt1, XT, gate
 
         def solve_rec(L, s, E, b, xgt, x1, denom, grad_t, k, XT, diag):
             """Backsolve + ANM scalar recurrence at order k (device).
@@ -665,7 +674,40 @@ class _ANMDriverBase:
                 "L": L, "s": s, "E": E, "gt": grad_t,
             }
         with ScopedProfiler("sparse_solve", block=True):
-            xgt, x1, denom, xt1, XT = order1(L, s, E, grad_t, xt0)
+            xgt, x1, denom, xt1, XT, gate = order1(
+                L, s, E, grad_t, xt0
+            )
+        # factor-quality pre-gate (VERDICT r4 item 4): a numerically
+        # bad f32 factor (measured: band factor on jet NHI) stalls the
+        # refined first backsolve far above refine_rtol; bail to host
+        # LU now — one backsolve paid instead of a full expansion that
+        # fails its checks.  Two strikes disable the device factor for
+        # this solver instance (the failure is a property of the
+        # mesh/regime, not transient), so warm re-solves stop paying
+        # the factorization at all.
+        import os
+
+        gate_tol = float(os.environ.get("SANM_FACTOR_GATE", "1e-8"))
+        if not bool(np.asarray(gate) <= gate_tol):
+            self._factor_gate_fails = (
+                getattr(self, "_factor_gate_fails", 0) + 1
+            )
+            # sticky for the rest of this solve (cleared by reset);
+            # auto stops picking the device factor entirely after two
+            # strikes via _solver_mode
+            self._solver_override = "host_lu"
+            self._fact_dev = None
+            if not reuse:
+                # hand the already-computed Jacobian/assembly to the
+                # host-LU path so it is not paid twice
+                self._prefetched = (xt0_np.copy(), (data, gt_asm, E))
+            if verbose_mode():
+                print(
+                    "%s factor pre-gate failed (resid %g > %g); "
+                    "host-LU fallback"
+                    % (self._solver_mode(), float(gate), gate_tol)
+                )
+            return None
         diag = jnp.zeros((hp.order + 1,), jnp.float64)
         with ScopedProfiler("order_step", block=True):
             step1 = step_fn if split is None else step_small
@@ -985,7 +1027,11 @@ class _ANMDriverBase:
             strict_f64 = jax.default_backend() == "cpu"
             if strict_f64 and self.n <= self.hp.dense_limit:
                 mode = "dense"
-            elif not strict_f64 and self._band_auto_ok():
+            elif (
+                not strict_f64
+                and getattr(self, "_factor_gate_fails", 0) < 2
+                and self._band_auto_ok()
+            ):
                 # device-resident banded Cholesky in its measured
                 # winning regime (see _band_auto_ok)
                 mode = "band_chol"
@@ -1108,6 +1154,10 @@ class _ANMDriverBase:
             with ScopedProfiler("eval_fx0_np"):
                 fx = self._eval_fx_np(self.xt0)
             if not self.on_fx0_computed(np.asarray(fx)):
+                # drop the speculative Jacobian dispatch: nothing will
+                # consume it and it pins device buffers for the
+                # solver's remaining lifetime otherwise
+                self._prefetched = None
                 self.xt_coeffs = self.xt0[None, :]
                 return
             try:
@@ -1138,6 +1188,9 @@ class _ANMDriverBase:
                             "fallback" % self._solver_mode()
                         )
                     self._solver_override = "host_lu"
+                    self._factor_gate_fails = (
+                        getattr(self, "_factor_gate_fails", 0) + 1
+                    )
                     self._fact_dev = None
                     try:
                         self._expand_and_check()
@@ -1538,6 +1591,10 @@ class ANMEqnSolver(ANMSolverVecScale):
         self._pade = None
         self._t_max = 0.0
         self._t_max_a = 0.0
+        # the sticky host-LU fallback is per-SOLVE: a transient devloop
+        # check failure must not disable band/dense_chol for later,
+        # independent solves on the same warm instance
+        self._solver_override = None
         self.solve_expansion_coeffs()
         return self
 

@@ -223,13 +223,30 @@ class HostLUSolver:
     _next_key = [0]
 
     def __init__(self, assembler, data, l2_penalty: float = 0.0):
+        import weakref
+
         from jax.experimental import io_callback
 
         self.assembler = assembler
         self.n = assembler.n
         self.l2_penalty = float(l2_penalty)
-        self.key = HostLUSolver._next_key[0]
-        HostLUSolver._next_key[0] += 1
+        # One registry slot PER ASSEMBLER (i.e. per linear-system
+        # topology), not per instance: the ANM driver builds a fresh
+        # HostLUSolver every continuation restart, and per-instance
+        # keys leaked one LU + CSR copy per restart for process
+        # lifetime.  Re-factorizing overwrites the slot (the previous
+        # restart's solves have all executed by then — dispatch is
+        # sequential through the ordered-token dataflow), and the slot
+        # itself is evicted when the assembler dies.
+        key = getattr(assembler, "_hostlu_key", None)
+        if key is None:
+            key = HostLUSolver._next_key[0]
+            HostLUSolver._next_key[0] += 1
+            assembler._hostlu_key = key
+            weakref.finalize(
+                assembler, HostLUSolver._registry.pop, key, None
+            )
+        self.key = key
         self._data = data
 
         key = self.key
@@ -443,7 +460,8 @@ def chol_factor(M):
 
 
 def chol_refine_solve(L, s, data, b, matvec, refine_steps: int,
-                      tri_solve=None, rtol: float = 1e-12):
+                      tri_solve=None, rtol: float = 1e-12,
+                      with_resid: bool = False):
     """Solve ``A x = b`` through the f32 Cholesky factor ``L`` of the
     Jacobi-equilibrated, sign-flipped system (see
     :class:`DeviceCholSolver`) with up to ``refine_steps`` rounds of
@@ -491,7 +509,13 @@ def chol_refine_solve(L, s, data, b, matvec, refine_steps: int,
             r = b - matvec(data, x)
             return x + backsub(r)
 
-        return jax.lax.fori_loop(0, refine_steps, body, x0)
+        x = jax.lax.fori_loop(0, refine_steps, body, x0)
+        if not with_resid:
+            return x
+        rel = jnp.linalg.norm(b - matvec(data, x)) / jnp.maximum(
+            jnp.linalg.norm(b), 1e-300
+        )
+        return x, rel
 
     thresh = rtol * jnp.linalg.norm(b)
     r0 = b - matvec(data, x0)
@@ -506,7 +530,11 @@ def chol_refine_solve(L, s, data, b, matvec, refine_steps: int,
         x = x + backsub(r)
         return i + 1, x, b - matvec(data, x)
 
-    return jax.lax.while_loop(cond, body, (jnp.int32(0), x0, r0))[1]
+    _, x, r = jax.lax.while_loop(cond, body, (jnp.int32(0), x0, r0))
+    if not with_resid:
+        return x
+    rel = jnp.linalg.norm(r) / jnp.maximum(jnp.linalg.norm(b), 1e-300)
+    return x, rel
 
 
 class DeviceCholSolver:

@@ -51,7 +51,7 @@ import jax
 import jax.numpy as jnp
 from jax._src import core as jcore
 
-from .utils import SANMError
+from .utils import SANMError, SANMNumericalError
 
 # ----------------------------------------------------------------------------
 # zero-coefficient helpers ("None" == structural zero)
@@ -804,8 +804,26 @@ def _static_scalar(engine, var):
 def _pow_series_rule(engine, eqn, idx, k, in_k, cache, commit, p=None):
     """f = x**p (non-integer p allowed, x0 != 0):
     f_k = p*f0/x0 * x_k + (1/x0) sum_{0<i<k} ((i/k)(p+1) - 1) f_{k-i} x_i
-    (reference PowImpl recurrence, ``libsanm/analytic_unary.cpp:133-137``)."""
+    (reference PowImpl recurrence, ``libsanm/analytic_unary.cpp:133-137``).
+
+    0**p with p not a non-negative integer has no Taylor series; the
+    reference raises SANMNumericalError
+    (``libsanm/analytic_unary.cpp:117-120``).  The same check runs here
+    whenever x0 is concrete (the eager engine used by the property
+    tests, and host-side evaluation); inside a jitted pass the division
+    produces non-finite coefficients that the solver's isfinite gates
+    catch — the error class is then reported at the solve level."""
     x = eqn.invars[0]
+    if p is not None and not (float(p).is_integer() and p >= 0):
+        _x0c = engine.coeff0(x)
+        if not isinstance(_x0c, jax.core.Tracer):
+            import numpy as _np
+
+            if bool(_np.any(_np.asarray(_x0c) == 0.0)):
+                raise SANMNumericalError(
+                    "pow: zero base with non-integer exponent %r has no "
+                    "Taylor expansion" % (p,)
+                )
     f = eqn.outvars[0]
     x_k = in_k[0]
     x0 = engine.coeff0(x)
@@ -827,8 +845,18 @@ def _pow_series_rule(engine, eqn, idx, k, in_k, cache, commit, p=None):
 
 def _make_pow_rule(get_p):
     def rule(engine, eqn, idx, k, in_k, cache, commit):
+        p = get_p(engine, eqn)
+        if float(p).is_integer() and p >= 0:
+            # integral exponent: the convolution chain is valid at ANY
+            # x0 including 0, where the analytic recurrence divides by
+            # x0 (the reference's |x0|<1e-3 switch,
+            # ``libsanm/analytic_unary.cpp:105-131``; unconditional
+            # here — no data-dependent branching under jit)
+            return _integer_pow_rule(
+                engine, eqn, idx, k, in_k, cache, commit, n=int(p)
+            )
         return _pow_series_rule(
-            engine, eqn, idx, k, in_k, cache, commit, p=get_p(engine, eqn)
+            engine, eqn, idx, k, in_k, cache, commit, p=p
         )
 
     return rule
@@ -936,8 +964,9 @@ def _binary_chain(n):
     return chain, acc
 
 
-def _integer_pow_rule(engine, eqn, idx, k, in_k, cache, commit):
-    n = eqn.params["y"]
+def _integer_pow_rule(engine, eqn, idx, k, in_k, cache, commit, n=None):
+    if n is None:
+        n = eqn.params["y"]
     x = eqn.invars[0]
     x_k = in_k[0]
     x0 = engine.coeff0(x)
@@ -1176,6 +1205,10 @@ def numpy_eval(tfn: TaylorFn):
             return out
         if p.name == "sanm_svd_w":
             return _svd_w_np(invals[0], prms["require_rotation"])
+        if p.name == "sanm_matinv":
+            return np.linalg.inv(invals[0])
+        if p.name == "sanm_det":
+            return np.linalg.det(invals[0])
         for name, fn in [
             ("eq", np.equal), ("ne", np.not_equal), ("lt", np.less),
             ("le", np.less_equal), ("gt", np.greater),

@@ -184,6 +184,29 @@ class ScanEngine:
         idx = jnp.arange(self.cap + 1)
         return idx, (idx >= lo) & (idx <= k - 1)
 
+    @staticmethod
+    def _wreduce(w, terms):
+        """Masked window reduction ``sum_i w[i] * terms[i]``.
+
+        Two lowerings: ``tensordot`` (a dot_general over the window
+        axis) and ``bsum`` (broadcast-multiply + reduce-sum).  On TPU
+        the emulated-f64 dot_general can hit a pathological minor-dim
+        retiling (measured 9.1 s vs 39 ms for the same three
+        human-scale island convolutions standalone,
+        ``scripts/ds_conv_probe2.py``); inside the fused step program
+        XLA usually fuses it away, so the default is chosen per dtype:
+        bsum for f64, tensordot otherwise.  ``SANM_CONV_REDUCE``
+        overrides for A/B."""
+        import os
+
+        mode = os.environ.get("SANM_CONV_REDUCE", "auto")
+        if mode == "auto":
+            mode = "bsum" if terms.dtype == jnp.float64 else "tensordot"
+        if mode == "bsum":
+            wb = w.reshape((-1,) + (1,) * (terms.ndim - 1))
+            return jnp.sum(wb * terms, axis=0)
+        return jnp.tensordot(w, terms, axes=(0, 0))
+
     def pair_conv(
         self, carry, a_var, b_var, k, weight=None, combine=None, lo=1
     ):

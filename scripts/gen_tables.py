@@ -90,11 +90,14 @@ def sparse_share(cell_dir, stat=None):
 def cell_time(stat):
     # warm > cold time_solve > total: warm excludes XLA compile /
     # cache-deserialization, matching the reference's long-lived-process
-    # timing protocol
-    return stat.get(
-        "time_solve_warm",
-        stat.get("time_solve", stat.get("time", float("nan"))),
-    )
+    # timing protocol.  A zero warm value means "no warm re-solve of
+    # this kind ran" (e.g. deform-task baselines, whose warm leg is
+    # time_task_warm) — fall through rather than reporting 0.000 s.
+    for key in ("time_solve_warm", "time_solve", "time"):
+        v = stat.get(key)
+        if v:
+            return v
+    return float("nan")
 
 
 def gmean(xs):

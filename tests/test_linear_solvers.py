@@ -87,6 +87,30 @@ def test_host_lu_solver():
         assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-12
 
 
+def test_host_lu_registry_bounded():
+    """The host-LU registry must not grow with restarts: the ANM driver
+    factorizes once per continuation restart on the SAME assembler, and
+    each factorization must overwrite (not leak) the previous LU + CSR
+    copy.  1000 restarts -> exactly one live registry slot per
+    assembler, and the slot dies with the assembler."""
+    import gc
+
+    A = banded_system(60)
+    asm, data = _assembler_for(A)
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.normal(size=60))
+    base = len(HostLUSolver._registry)
+    for _ in range(1000):
+        s = HostLUSolver(asm, data)
+        x = np.asarray(s.solve(b))
+    assert np.linalg.norm(A @ x - np.asarray(b)) < 1e-10
+    assert len(HostLUSolver._registry) == base + 1
+    key = asm._hostlu_key
+    del asm, s
+    gc.collect()
+    assert key not in HostLUSolver._registry
+
+
 def test_sparse_cg():
     A = banded_system(150)
     A = A @ A.T + 10 * np.eye(150)  # SPD for CG

@@ -127,6 +127,43 @@ def test_solver_backends_match_dense(mode):
     require_tensor_eq(got, ref, 1e-7, msg=f"{mode} vs dense")
 
 
+@pytest.mark.slow
+def test_factor_pre_gate_fallback(monkeypatch):
+    """A device factor whose first refined backsolve misses the quality
+    gate must fall back to host LU for the cost of ONE backsolve (no
+    full failed expansion), stay host-LU for the rest of the solve, and
+    after two strikes be excluded from auto dispatch entirely
+    (VERDICT r4 item 4; the measured real case is the f32 band factor
+    on jet NHI).  Forcing the gate impossible (1e-30) simulates the bad
+    factor; the solve must still converge through the fallback."""
+    body, f_load = make_problem()
+    em = EnergyModel.NEOHOOKEAN_C
+    monkeypatch.setenv("SANM_FACTOR_GATE", "1e-30")
+
+    model = body.make_forward(em)
+    f_sub = model.lt_inp.copy_vtx_values(f_load)
+    hp = EqnHyperParam(order=8, use_pade=True, solver="band_chol")
+    hp.converge_rms = RMS_THRESH_FORCE_EQU
+    s = ANMEqnSolver(
+        model.fn, model.lt_inp.remap, model.lt_out.remap, model.x0(),
+        f_sub, hp,
+    )
+    got = np.asarray(run_anm_eqn(s, progress=False))
+    assert getattr(s, "_factor_gate_fails", 0) >= 1
+    assert s._solver_override == "host_lu"
+
+    monkeypatch.delenv("SANM_FACTOR_GATE")
+    model = body.make_forward(em)
+    hp2 = EqnHyperParam(order=8, use_pade=True, solver="dense")
+    hp2.converge_rms = RMS_THRESH_FORCE_EQU
+    s2 = ANMEqnSolver(
+        model.fn, model.lt_inp.remap, model.lt_out.remap, model.x0(),
+        f_sub, hp2,
+    )
+    ref = np.asarray(run_anm_eqn(s2, progress=False))
+    require_tensor_eq(got, ref, 1e-7, msg="gate fallback vs dense")
+
+
 def test_implicit_solver_host_lu():
     # the implicit solver's grad_t path through the sparse assembler
     batch = 5

@@ -140,6 +140,42 @@ class TestElemwise:
             lambda x: x**n, _zeros_tail(xarr, 4), [0.05, -0.05], eps_eval=1e-4
         )
 
+    @pytest.mark.parametrize("p", [2.0, 3.0])
+    def test_pow_float_integral_exponent_zero_base(self, p):
+        # (p = 0.0 is excluded: jax's own pow JVP is NaN at a zero
+        # base — 0 * x^-1 — which breaks the test's Jacobian oracle,
+        # not the series rule)
+        # lax.pow with an integral float exponent at x0 containing
+        # exact zeros must route through the convolution chain (the
+        # reference's |x0|<1e-3 switch for integral exponents,
+        # libsanm/analytic_unary.cpp:105-131) instead of dividing by x0
+        xarr = [tensor_rng((5, 4), -1.0, 1.0) for _ in range(4)]
+        xarr[0][0, 0] = 0.0
+        xarr[0][2, 3] = 0.0
+        # tail long enough that the full degree-3p polynomial fits: the
+        # series-vs-eval check is then exact, not truncation-limited
+        check_taylor_prop(
+            lambda x: jax.lax.pow(x, p),
+            _zeros_tail(xarr, 7),
+            [0.05, -0.05],
+        )
+
+    def test_pow_zero_base_noninteger_raises(self):
+        # 0**p, non-integer p: no Taylor expansion exists; the engine
+        # must raise SANMNumericalError like the reference
+        # (libsanm/analytic_unary.cpp:117-120) rather than NaN silently
+        # (checkable where x0 is concrete, i.e. the eager engine)
+        from sanm_tpu.utils import SANMNumericalError
+
+        x0 = np.array([1.0, 0.0, 2.0])
+        tfn = taylor.TaylorFn(lambda x: x**0.5, jnp.asarray(x0))
+        eng = tfn.engine()
+        eng.start(jnp.asarray(x0))
+        with pytest.raises(SANMNumericalError):
+            eng.order_bias()
+            eng.push(jnp.ones(3))
+            eng.order_bias()  # order 2 divides by x0
+
     def test_log(self):
         xarr = [tensor_rng((5, 4), 1.0, 3.0) for _ in range(4)]
         check_taylor_prop(
@@ -198,6 +234,65 @@ class TestLinalg:
         check_taylor_prop(
             batched_inv, _zeros_tail(xarr, 5), [0.02, -0.02]
         )
+
+    @pytest.mark.parametrize("n", [4, 5, 7])
+    def test_det_generic_n(self, n):
+        # port of the reference determinant Taylor tests up to 7x7
+        # (tests/symbolic.cpp:324-360); n > 3 takes the atomic
+        # sanm_det primitive (polymat-coefficient bias)
+        xarr = [tensor_rng((3, n, n), -1, 1) for _ in range(4)]
+        xarr[0] += (n + 1) * np.eye(n)
+        check_taylor_prop(
+            batched_det, _zeros_tail(xarr, 4), [0.02, -0.02]
+        )
+
+    @pytest.mark.parametrize("n", [4, 6])
+    def test_inv_generic_n(self, n):
+        # generic-n matinv recurrence y_k = -y0 (sum x_i y_{k-i})
+        # (reference batched_mat_inv_mul, libsanm/oprs/linalg.cpp:146-197)
+        xarr = [tensor_rng((3, n, n), -1, 1) for _ in range(4)]
+        xarr[0] += (n + 1) * np.eye(n)
+        check_taylor_prop(
+            batched_inv, _zeros_tail(xarr, 5), [0.02, -0.02]
+        )
+
+    def test_inv_mul_generic_n(self):
+        # the reference op is batched_mat_inv_mul (y = x^{-1} a);
+        # composition of the matinv primitive with matmul must satisfy
+        # the same invariant
+        n = 5
+        xarr = [tensor_rng((2, n, n), -1, 1) for _ in range(3)]
+        xarr[0] += (n + 1) * np.eye(n)
+
+        def fn(x):
+            a = jnp.swapaxes(x, -1, -2) + 1.0  # a varying alongside x
+            return jnp.einsum(
+                "bij,bjk->bik", batched_inv(x), a,
+                precision="highest",
+            )
+
+        check_taylor_prop(fn, _zeros_tail(xarr, 5), [0.02, -0.02])
+
+    def test_cofactor_generic_n(self):
+        # SVD cofactor vs brute-force minors (reference
+        # utils/test_cofactor.py:8-36 oracle, generalized to n=5)
+        from sanm_tpu.ops.linalg import batched_cofactor_nd
+
+        n = 5
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(4, n, n))
+        got = np.asarray(batched_cofactor_nd(jnp.asarray(x)))
+        want = np.empty_like(x)
+        for b in range(x.shape[0]):
+            for i in range(n):
+                for j in range(n):
+                    minor = np.delete(
+                        np.delete(x[b], i, axis=0), j, axis=1
+                    )
+                    want[b, i, j] = ((-1.0) ** (i + j)) * np.linalg.det(
+                        minor
+                    )
+        require_tensor_eq(got, want, 1e-9, msg="cofactor n=5")
 
     @pytest.mark.slow
     def test_log_det_composite(self):
