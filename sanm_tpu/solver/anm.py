@@ -430,20 +430,20 @@ class _ANMDriverBase:
                 BandPlan,
                 assemble_band_scaled_neg,
                 band_cholesky,
+                band_factor_ok,
                 band_tri_solve_fn,
             )
 
-            plan = BandPlan(asm.csr_rowidx, asm.csr_cols, n)
+            plan = getattr(self, "_band_plan", None)
+            if plan is None or plan.n != n:
+                plan = BandPlan(asm.csr_rowidx, asm.csr_cols, n)
             self._band_plan = plan
             tri_solve = band_tri_solve_fn(plan)
 
             def factor(data):
                 Bb, s = assemble_band_scaled_neg(plan, asm, data)
-                L = band_cholesky(Bb, plan.s, plan.w)
-                ok = jnp.isfinite(
-                    L.reshape(-1)[jnp.asarray(plan.diag_idx)]
-                ).all()
-                return L, s, ok
+                L = band_cholesky(plan, Bb)
+                return L, s, band_factor_ok(L)
 
         else:
             def factor(data):
@@ -1040,24 +1040,24 @@ class _ANMDriverBase:
         return mode
 
     def _band_auto_ok(self):
-        """Whether ``auto`` should take the on-device banded Cholesky
+        """Whether ``auto`` should take the on-device skyline Cholesky
         (``solver/band.py``) instead of host sparse LU.
 
-        Measured regime (TPU v5e, column-panel factor, warm re-solve;
-        cells ``results_tpu/*-sanm_band-gravity`` + shootouts):
-        band_chol WINS at bob scale (n=23097, RCM semi-bandwidth
-        b=3350, n*b^2=2.6e11: 9.0-9.3 s vs host_lu 12.5-14.6 s) and
-        ties at bar (n=13656: 9.2 vs 9.0 s), but LOSES once the band
-        is fat (armadillo-small n=40995, b=6104, n*b^2=1.5e12:
-        42.5 s vs 16.5 s — the O(n*b^2) factor FLOPs overtake a ~1 s
-        host factorization), and on jet (n=36987, b~3893,
-        n*b^2=5.6e11, NHI) the f32 band factor fails the
-        orthogonality checks outright (solve_expansion_coeffs then
-        falls back to host LU, paying both).  The threshold 4e11
-        admits bob with margin and excludes jet and armadillo.
-        The RCM bandwidth probe is a cheap host-side pure function of
-        the topology-static sparsity (one scipy RCM + an nnz max,
-        ~10 ms at armadillo scale), cached per solver instance.
+        The gate builds the actual :class:`BandPlan` (host-side, pure
+        function of the topology-static sparsity, ~0.2 s at armadillo
+        scale; stashed on ``self._band_plan`` so ``_make_solver``
+        reuses it) and thresholds on the plan's SKYLINE factor FLOPs —
+        the quantity that actually scales the device factorization,
+        unlike the uniform-band n*b^2 the round-4 gate used.
+        Calibration (s=512 plans; TPU v5e warm re-solves,
+        ``results_tpu/*-sanm_band-*`` + shootouts): bob 2.0e11 WINS
+        (9.0-9.3 s vs host_lu 12.5-14.6 s); jet 3.4e11 (f32 factor
+        fails NHI orthogonality — caught by the order-1 residual
+        pre-gate at one backsolve's cost); armadillo-small 7.1e11 lost
+        at 42.5 s vs 16.5 s with the round-4 UNIFORM factor, skyline
+        re-measured this round.  Threshold SANM_BAND_FLOPS (default
+        4e11) admits bob with margin and excludes armadillo/human
+        pending a measured skyline win.
         ``SANM_BAND_AUTO=0`` restores the round-3 auto behavior
         (always host_lu on accelerators).  Explicit ``solver=``
         config / ``SANM_SOLVER`` bypass auto entirely."""
@@ -1072,26 +1072,16 @@ class _ANMDriverBase:
             and not self.hp.xcoeff_l2_penalty
         ):
             try:
-                import scipy.sparse as sp
-                from scipy.sparse.csgraph import reverse_cuthill_mckee
+                from .band import BandPlan
 
                 asm = self._assembler()
-                n = self.n
-                pat = sp.csr_matrix(
-                    (
-                        np.ones(len(asm.csr_rowidx), np.float32),
-                        (asm.csr_rowidx, asm.csr_cols),
-                    ),
-                    shape=(n, n),
+                plan = BandPlan(asm.csr_rowidx, asm.csr_cols, self.n)
+                thr = float(
+                    os.environ.get("SANM_BAND_FLOPS", "4e11")
                 )
-                perm = np.asarray(
-                    reverse_cuthill_mckee(pat, symmetric_mode=True)
-                )
-                invp = np.empty(n, np.int64)
-                invp[perm] = np.arange(n)
-                coo = pat.tocoo()
-                b = int(np.abs(invp[coo.row] - invp[coo.col]).max())
-                ok = n * float(b) * float(b) <= 4.0e11
+                ok = plan.factor_flops() <= thr
+                if ok:
+                    self._band_plan = plan
             except Exception:
                 ok = False
         self._band_auto = ok

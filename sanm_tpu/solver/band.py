@@ -1,4 +1,4 @@
-"""Device-resident banded Cholesky: the sparse direct factorization.
+"""Device-resident skyline/banded Cholesky: the sparse direct factor.
 
 Reference counterpart: the MKL-PARDISO sparse LDL^T
 (``libsanm/sparse_solver.cpp:327-421`` — analyze once, factorize once
@@ -12,57 +12,59 @@ MXU with static shapes:
   is topology-static, so a reverse-Cuthill-McKee ordering of the DOF
   graph is computed once.  On the reference meshes RCM leaves a small
   band (measured: armadillo-small n=40995 -> semi-bandwidth 6104,
-  human n=76977 -> 5228, bob n=23097 -> 3350), so a *banded* blocked
-  Cholesky needs ~n*b^2 FLOPs and n*(2w+1)s memory — at armadillo
-  scale ~8x fewer FLOPs and ~3x less HBM than the dense n^2 factor
-  (and human, 23.7 GB dense, fits in 4.8 GB).  The phase emits static
+  human n=76977 -> 5228, bob n=23097 -> 3350).  The *profile* within
+  that band is far from uniform — per-block-column reach on armadillo
+  at s=2048 spans 1..3 blocks, and the exact skyline FLOPs
+  (sum of squared row widths) are 8.6x below the uniform-band n*b^2 —
+  so the plan partitions the block columns into a few contiguous
+  *runs* of equal block width w_r (greedy-merged to bound program
+  count) and every run factors/solves at its own static width: the
+  blocked SKYLINE factorization.  The phase emits static
   gather/scatter index maps; nothing symbolic happens per restart.
-* **Numeric phase (device, once per restart)**: a ``fori_loop`` over
-  block columns; each step is one s x s Cholesky, one batched
-  triangular solve, and one (s, w*s) x (w*s, w*s) MXU update — all
-  static shapes, no data-dependent control flow.
+* **Numeric phase (device, once per restart)**: one ``lax.scan`` per
+  run over its block columns; each step is one s x s Cholesky, one
+  s x s *triangular inversion*, one batched panel multiply, and one
+  (s, w_r*s) x (w_r*s, w_r*s) MXU trailing update — all static
+  shapes, no data-dependent control flow.
 * **Backsolve (device, once per Taylor order)**: blocked forward /
-  backward substitution touching one ((w+1)s, s) column panel per
-  step; the whole factor streams through HBM once per substitution
-  pass (~1.4 GB at armadillo scale vs 6.7 GB for the dense factor).
+  backward substitution, one column panel per step.  The diagonal
+  blocks are stored INVERTED (computed once at factor time), so the
+  substitutions are pure matmuls — no per-step ``solve_triangular``,
+  whose XLA lowering is an internal blocked loop that dominated the
+  per-step latency of the sequential substitution passes.  The whole
+  factor streams through HBM once per substitution pass.
 
-Two storage layouts are used:
+Storage layouts:
 
 * **Working band (factorization carry)**: block-row windows over the
-  LOWER band only.  ``Bb[(i*s + r), c]`` holds
-  ``A[i*s + r, (i - w)*s + c]`` for block-row ``i``, i.e. each block
-  row stores its ``(w+1)s``-wide lower diagonal window (the matrix is
-  symmetric and Cholesky reads only the lower triangle, so the upper
-  nnz are simply not scattered).  The trailing update of block column
-  ``j`` lands at *contiguous* window columns of each affected block
-  row — for target row-block ``j+1+m`` only the ``p <= m`` column
-  blocks are in the lower triangle, a contiguous ``(m+1)s``-wide strip
-  (static width per unrolled ``m``).  This buffer is a transient
-  inside the factor program, carried through a ``lax.scan`` whose
-  per-step *outputs* are the factored column panels — outputs are
-  written into a preallocated stack, so the persistent factor is never
-  double-buffered the way a second loop carry would be.
-* **Factor output (persistent, read by every backsolve)**: block-
-  column panels ``Lc (nb, (w+1)s, s)`` — panel ``j`` stacks the
-  diagonal block ``L[j,j]`` (rows 0:s) over the w subdiagonal blocks
-  ``L[j+1+m, j]``.  Both substitution loops slice only the leading
-  axis, so XLA keeps ONE layout for the factor; the first (band-row)
-  design made the backward loop prefer the transposed layout and XLA
-  materialized a full 2.8 GB transposed copy of the factor per solve
-  (measured via ``memory_analysis`` at armadillo scale — the OOM /
-  HBM-traffic root cause).  The panel layout is also ~45% smaller
-  (no upper scratch): 1.4 GB vs 2.8 GB at armadillo n=40995.
+  LOWER band only, at the UNIFORM global width ``W=(w+1)s``
+  (transient; freed at factor return).  ``Bb[(i*s + r), c]`` holds
+  ``A[i*s + r, (i - w)*s + c]`` for block-row ``i``.  The trailing
+  update of block column ``j`` lands at *contiguous* window columns
+  of each affected block row.  Scatter positions depend only on the
+  global ``w``, so the assembly map is width-independent.
+* **Factor output (persistent, read by every backsolve)**: per-run
+  block-column panel stacks ``L[r] (len_r, (w_r+1)s, s)`` — panel
+  ``j`` stacks ``inv(L[j,j])`` (rows 0:s) over the ``w_r``
+  subdiagonal blocks ``L[j+1+m, j]``.  Each run keeps ONE static
+  layout, sliced only along the leading axis (a single uniform-band
+  predecessor of this design made XLA materialize a 2.8 GB transposed
+  factor copy per solve — the layout rule survives here).  Skyline
+  panels also shrink the factor memory to the profile's true size
+  (~2x at armadillo scale).
 
 Precision mirrors :class:`~sanm_tpu.solver.linear.DeviceCholSolver`:
 f32 factorization (MXU) + f64 iterative refinement through the exact
 sparse operator (``chol_refine_solve``), on the Jacobi-equilibrated,
 sign-flipped system (elastic stiffness is negative definite at stable
-states).  An indefinite state propagates NaN through the factor
-diagonal; callers detect it and fall back to host LU exactly like the
-dense path.
+states).  An indefinite state propagates NaN through the factor;
+callers detect it (``band_factor_ok``) and fall back to host LU
+exactly like the dense path.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -75,10 +77,14 @@ from ..utils import sanm_assert
 
 
 class BandPlan:
-    """Host-side symbolic analysis: RCM ordering + band layout + the
-    static assembly scatter map.  Built once per topology (the ANM
+    """Host-side symbolic analysis: RCM ordering + skyline run layout +
+    the static assembly scatter map.  Built once per topology (the ANM
     analog of PARDISO phase 11 'analyze', which the reference likewise
     runs once and reuses, ``sparse_solver.cpp:340-352``)."""
+
+    # greedy run-merge bound: one compiled scan body per run in both
+    # the factor and each substitution pass, so cap the program count
+    MAX_RUNS = 6
 
     def __init__(self, csr_rowidx, csr_cols, n: int):
         import scipy.sparse as sp
@@ -99,11 +105,15 @@ class BandPlan:
         bw = int(np.abs(rp - cp).max()) if r.size else 1
 
         # block size: smallest power of two (>=256) with <=3 panel
-        # blocks in the band — bigger panels mean fewer sequential
-        # fori steps and larger MXU ops at slightly more junk FLOPs
-        s = 256
-        while s < 4096 and (bw + 1) / s > 3:
-            s *= 2
+        # blocks in the max band — bigger panels mean fewer sequential
+        # steps and larger MXU ops at slightly more junk FLOPs.
+        # SANM_BAND_S overrides for A/B (skyline width resolution vs
+        # step count).
+        s = int(os.environ.get("SANM_BAND_S", "0"))
+        if s <= 0:
+            s = 256
+            while s < 4096 and (bw + 1) / s > 3:
+                s *= 2
         w = max(1, -(-bw // s))
         self.s, self.w = s, w
         self.bw = bw
@@ -112,11 +122,29 @@ class BandPlan:
         self.nrow_tot = (nb + w) * s
         self.W = (w + 1) * s
 
+        # ---- skyline runs: per-block-column reach ---------------------
+        # Profile Cholesky fill stays within each row's profile
+        # [first_i, i], so block-row i touches block column j iff
+        # fblk[i] <= j; the reach of column j is the farthest such row.
+        first = np.full(n, np.iinfo(np.int64).max)
+        np.minimum.at(first, rp, cp)
+        fblk_dof = first // s
+        blk_of = np.arange(n) // s
+        fblk = np.full(nb, nb, np.int64)
+        np.minimum.at(fblk, blk_of, fblk_dof)
+        w_need = np.zeros(nb, np.int64)
+        for i in range(nb):
+            lo = int(fblk[i])
+            if lo < i:
+                j = np.arange(lo, i)
+                np.maximum.at(w_need, j, i - j)
+        sanm_assert(int(w_need.max(initial=0)) <= w,
+                    "skyline reach exceeds global band width")
+        self.blk_w = w_need
+        self.runs = self._merge_runs(w_need, self.MAX_RUNS)
+
         # assembly scatter: LOWER-triangle nnz entry e -> flat band
-        # position.  Window column of global (r', c') in block-row
-        # i = r'//s is c' - (i - w)*s; for r' >= c' it lies in
-        # [0, (w+1)s) since r' - c' <= bw <= w*s.  The upper triangle
-        # is never scattered (symmetric input, Cholesky reads lower).
+        # position (uniform-W working band; width-independent).
         low = np.nonzero(rp >= cp)[0]
         self.band_sel = low.astype(
             np.int32 if r.size < 2**31 else np.int64
@@ -132,16 +160,6 @@ class BandPlan:
         self.pad_idx = (
             padflat.astype(np.int32) if top < 2**31 else padflat
         )
-        # factor-diagonal gather (for the finite/indefinite check),
-        # indexing the flattened column-panel factor Lc (nb, (w+1)s, s):
-        # dof d -> panel d//s, local row d%s, column d%s
-        dr = np.arange(n, dtype=np.int64)
-        panel_sz = (w + 1) * s * s
-        dflat = (dr // s) * panel_sz + (dr % s) * s + (dr % s)
-        ftop = nb * panel_sz
-        self.diag_idx = (
-            dflat.astype(np.int32) if ftop < 2**31 else dflat
-        )
         # permutation extended over the pad region (identity there),
         # for solves on chol_refine_solve's zero-extended RHS
         self.perm_ext = np.concatenate(
@@ -151,13 +169,57 @@ class BandPlan:
             [invp, np.arange(n, self.nrow_tot, dtype=np.int64)]
         ).astype(self.perm_ext.dtype)
 
+    @staticmethod
+    def _merge_runs(w_need, max_runs):
+        """Contiguous equal-width runs, greedily merged (cheapest FLOPs
+        increase first) until at most ``max_runs`` remain.  Returns
+        ``[(j0, length, w_run), ...]`` covering ``0..nb-1``."""
+        runs = []
+        for j, wv in enumerate(w_need.tolist()):
+            if runs and runs[-1][2] == wv:
+                runs[-1][1] += 1
+            else:
+                runs.append([j, 1, wv])
+
+        def cost(ln, wv):
+            # per-column factor FLOPs in s^3 units: chol 1/3 + inv 1/2
+            # + panel mult w + trailing update w^2
+            return ln * (wv * wv + wv + 0.83)
+
+        while len(runs) > max_runs:
+            best, besti = None, None
+            for i in range(len(runs) - 1):
+                a, b = runs[i], runs[i + 1]
+                wv = max(a[2], b[2])
+                inc = (
+                    cost(a[1] + b[1], wv)
+                    - cost(a[1], a[2])
+                    - cost(b[1], b[2])
+                )
+                if best is None or inc < best:
+                    best, besti = inc, i
+            a, b = runs[besti], runs[besti + 1]
+            runs[besti] = [a[0], a[1] + b[1], max(a[2], b[2])]
+            del runs[besti + 1]
+        return [tuple(r) for r in runs]
+
     def mem_bytes(self) -> int:
-        """Persistent factor bytes (column-panel layout, f32)."""
-        return 4 * self.nb * (self.w + 1) * self.s * self.s
+        """Persistent factor bytes (skyline column panels, f32)."""
+        return sum(
+            4 * ln * (wr + 1) * self.s * self.s
+            for _, ln, wr in self.runs
+        )
 
     def work_mem_bytes(self) -> int:
         """Transient working-band bytes during factorization (f32)."""
         return 4 * self.nrow_tot * self.W
+
+    def factor_flops(self) -> float:
+        """Factorization FLOPs estimate (skyline runs)."""
+        s3 = float(self.s) ** 3
+        return sum(
+            ln * (wr * wr + wr + 0.83) * s3 for _, ln, wr in self.runs
+        )
 
 
 def assemble_band_scaled_neg(plan: BandPlan, asm, data):
@@ -182,120 +244,142 @@ def assemble_band_scaled_neg(plan: BandPlan, asm, data):
     return flat.reshape(plan.nrow_tot, plan.W), s
 
 
-def band_cholesky(Bb, s_blk: int, w: int):
-    """Right-looking blocked Cholesky of the band-stored SPD matrix.
+def band_cholesky(plan: BandPlan, Bb):
+    """Right-looking blocked skyline Cholesky of the band-stored SPD
+    matrix: one ``lax.scan`` per width run, one step per block column.
+    Each step factors the s x s diagonal block, INVERTS the triangular
+    factor (so every later substitution is a pure matmul), forms the
+    w_r subdiagonal panels by multiplication, and subtracts the
+    (w_r*s) x (w_r*s) outer product from the trailing windows.  NaNs
+    from an indefinite input propagate to the factor.
 
-    One ``fori_loop`` step per block column: factor the s x s diagonal
-    block, solve the w subdiagonal panels against it, subtract the
-    (w*s) x (w*s) outer product from the trailing windows.  The w inner
-    updates are unrolled (w is a small static int).  NaNs from an
-    indefinite input propagate to the factor diagonal.
-
-    Returns the factor in column-panel layout ``Lc (nb, (w+1)s, s)``
+    Returns the factor as a tuple of per-run column-panel stacks
+    ``L[r] (len_r, (w_r+1)s, s)`` with ``inv(L[j,j])`` in rows 0:s
     (see module docstring); the working band ``Bb`` is the scan carry
-    the compiler updates in place and frees at return — factored
-    panels leave the loop as scan outputs and are never written back
-    into it (right-looking elimination reads each panel exactly once,
-    at its own column step)."""
-    nrow_tot, W = Bb.shape
-    nb = nrow_tot // s_blk - w
-
-    def step(Bb, j):
-        c0 = j * s_blk
-        D = lax.dynamic_slice(Bb, (c0, w * s_blk), (s_blk, s_blk))
-        # no symmetrize: the window stores only the lower triangle, the
-        # upper half of D is unscattered junk (jnp.linalg.cholesky
-        # would average it in)
-        Ljj = lax.linalg.cholesky(D, symmetrize_input=False)
-        # subdiagonal panels: block (j+1+m, j) sits in block-row j+1+m
-        # at window offset (w-1-m)*s
-        P = jnp.stack([
-            lax.dynamic_slice(
-                Bb, ((j + 1 + m) * s_blk, (w - 1 - m) * s_blk),
-                (s_blk, s_blk),
+    the compiler updates in place and frees at return."""
+    s_blk, w = plan.s, plan.w
+    eye = jnp.eye(s_blk, dtype=Bb.dtype)
+    outs = []
+    for j0, ln, wr in plan.runs:
+        def step(Bb, j, wr=wr):
+            c0 = j * s_blk
+            D = lax.dynamic_slice(
+                Bb, (c0, w * s_blk), (s_blk, s_blk)
             )
-            for m in range(w)
-        ])
-        T = jax.vmap(
-            lambda Pm: jsl.solve_triangular(Ljj, Pm.T, lower=True).T
-        )(P)
-        # U[m] = T[m] @ [T_0 .. T_{w-1}]^T laid out as (s, w*s); block
-        # (j+1+m, j+1+p) sits at window offset (w-m+p)*s.  Only the
-        # p <= m blocks are in the lower band: a contiguous strip of
-        # static width (m+1)s starting at (w-m)s.
-        U = jnp.einsum(
-            "mab,pcb->mapc", T, T, precision="highest"
-        ).reshape(w, s_blk, w * s_blk)
-        for m in range(w):
-            r0 = (j + 1 + m) * s_blk
-            coff = (w - m) * s_blk
-            width = (m + 1) * s_blk
-            seg = lax.dynamic_slice(Bb, (r0, coff), (s_blk, width))
-            Bb = lax.dynamic_update_slice(
-                Bb, seg - U[m, :, :width], (r0, coff)
+            # no symmetrize: the window stores only the lower triangle,
+            # the upper half of D is unscattered junk
+            Ljj = lax.linalg.cholesky(D, symmetrize_input=False)
+            inv = jsl.solve_triangular(Ljj, eye, lower=True)
+            if wr == 0:
+                return Bb, inv
+            # subdiagonal panels: block (j+1+m, j) sits in block-row
+            # j+1+m at window offset (w-1-m)*s
+            P = jnp.stack([
+                lax.dynamic_slice(
+                    Bb, ((j + 1 + m) * s_blk, (w - 1 - m) * s_blk),
+                    (s_blk, s_blk),
+                )
+                for m in range(wr)
+            ])
+            # T[m] = P[m] @ inv(Ljj)^T  (== solve(Ljj, P[m]^T)^T)
+            T = jnp.einsum("mab,cb->mac", P, inv, precision="highest")
+            # U[m] = T[m] @ [T_0 .. T_{wr-1}]^T as (s, wr*s); block
+            # (j+1+m, j+1+p) sits at window offset (w-m+p)*s.  Only
+            # p <= m blocks are in the lower band: a contiguous strip
+            # of static width (m+1)s starting at (w-m)s.
+            U = jnp.einsum(
+                "mab,pcb->mapc", T, T, precision="highest"
+            ).reshape(wr, s_blk, wr * s_blk)
+            for m in range(wr):
+                r0 = (j + 1 + m) * s_blk
+                coff = (w - m) * s_blk
+                width = (m + 1) * s_blk
+                seg = lax.dynamic_slice(Bb, (r0, coff), (s_blk, width))
+                Bb = lax.dynamic_update_slice(
+                    Bb, seg - U[m, :, :width], (r0, coff)
+                )
+            panel = jnp.concatenate(
+                [inv, T.reshape(wr * s_blk, s_blk)], axis=0
             )
-        panel = jnp.concatenate(
-            [Ljj, T.reshape(w * s_blk, s_blk)], axis=0
-        )
-        return Bb, panel
+            return Bb, panel
 
-    return lax.scan(step, Bb, jnp.arange(nb))[1]
+        Bb, panels = lax.scan(step, Bb, jnp.arange(j0, j0 + ln))
+        outs.append(panels)
+    return tuple(outs)
 
 
-def band_tri_solve(Lc, s_blk: int, w: int, rhs):
-    """``(L L^T)^{-1} rhs`` through the column-panel factor: blocked
-    forward then backward substitution, one ((w+1)s, s) panel per step.
-    ``rhs`` is the full padded vector (``nrow_tot``,) in PERMUTED
-    ordering; pad entries solve to exact zeros (unit diagonal, zero
-    panels).  Both loops slice ``Lc`` only along axis 0, so the factor
-    keeps a single layout (no transposed-copy materialization — see
-    module docstring)."""
-    nb = Lc.shape[0]
+def band_factor_ok(L):
+    """All-finite check on the skyline factor (NaN from an indefinite
+    diagonal block propagates through the inversion and the trailing
+    updates)."""
+    ok = jnp.bool_(True)
+    for p in L:
+        ok = jnp.logical_and(ok, jnp.isfinite(p).all())
+    return ok
 
-    def panel(j):
-        Pf = lax.dynamic_slice(
-            Lc, (j, 0, 0), (1, (w + 1) * s_blk, s_blk)
+
+def band_tri_solve(plan: BandPlan, L, rhs):
+    """``(L L^T)^{-1} rhs`` through the skyline column-panel factor:
+    blocked forward then backward substitution, one panel per step,
+    pure matmuls (inverted diagonal blocks).  ``rhs`` is the full
+    padded vector (``nrow_tot``,) in PERMUTED ordering; pad entries
+    solve to exact zeros (inverted unit diagonal, zero panels)."""
+    s_blk = plan.s
+
+    r = rhs
+    for (j0, ln, wr), panels in zip(plan.runs, L):
+        def fwd(r, xs, wr=wr):
+            Pf, j = xs
+            c0 = j * s_blk
+            inv, Pm = Pf[:s_blk], Pf[s_blk:]
+            rj = lax.dynamic_slice(r, (c0,), (s_blk,))
+            yj = inv @ rj
+            if wr:
+                seg = lax.dynamic_slice(
+                    r, (c0 + s_blk,), (wr * s_blk,)
+                )
+                r = lax.dynamic_update_slice(
+                    r, seg - Pm @ yj, (c0 + s_blk,)
+                )
+            return lax.dynamic_update_slice(r, yj, (c0,)), None
+
+        r = lax.scan(fwd, r, (panels, jnp.arange(j0, j0 + ln)))[0]
+
+    y = r
+    for (j0, ln, wr), panels in reversed(list(zip(plan.runs, L))):
+        def bwd(y, xs, wr=wr):
+            Pf, j = xs
+            c0 = j * s_blk
+            inv, Pm = Pf[:s_blk], Pf[s_blk:]
+            yj = lax.dynamic_slice(y, (c0,), (s_blk,))
+            if wr:
+                xs_below = lax.dynamic_slice(
+                    y, (c0 + s_blk,), (wr * s_blk,)
+                )
+                yj = yj - xs_below @ Pm
+            xj = yj @ inv  # inv(Ljj)^T @ yj
+            return lax.dynamic_update_slice(y, xj, (c0,)), None
+
+        y = lax.scan(
+            bwd, y, (panels, jnp.arange(j0, j0 + ln)), reverse=True
         )[0]
-        return Pf[:s_blk], Pf[s_blk:]
-
-    def fwd(j, r):
-        c0 = j * s_blk
-        Ljj, Pm = panel(j)
-        rj = lax.dynamic_slice(r, (c0,), (s_blk,))
-        yj = jsl.solve_triangular(Ljj, rj, lower=True)
-        seg = lax.dynamic_slice(r, (c0 + s_blk,), (w * s_blk,))
-        r = lax.dynamic_update_slice(r, seg - Pm @ yj, (c0 + s_blk,))
-        return lax.dynamic_update_slice(r, yj, (c0,))
-
-    y = lax.fori_loop(0, nb, fwd, rhs)
-
-    def bwd(jj, y):
-        j = nb - 1 - jj
-        c0 = j * s_blk
-        Ljj, Pm = panel(j)
-        xs = lax.dynamic_slice(y, (c0 + s_blk,), (w * s_blk,))
-        yj = lax.dynamic_slice(y, (c0,), (s_blk,)) - xs @ Pm
-        xj = jsl.solve_triangular(Ljj, yj, lower=True, trans=1)
-        return lax.dynamic_update_slice(y, xj, (c0,))
-
-    return lax.fori_loop(0, nb, bwd, y)
+    return y
 
 
 def band_tri_solve_fn(plan: BandPlan):
     """The ``tri_solve(L, rf)`` hook for
     :func:`~sanm_tpu.solver.linear.chol_refine_solve`: gathers the
-    zero-extended RHS into RCM ordering, runs the banded substitutions,
-    and scatters back — the permutation lives entirely inside the
-    factor's backsub, invisible to the refinement loop (whose residual
-    matvec runs in original ordering)."""
-    s_blk, w = plan.s, plan.w
+    zero-extended RHS into RCM ordering, runs the skyline
+    substitutions, and scatters back — the permutation lives entirely
+    inside the factor's backsub, invisible to the refinement loop
+    (whose residual matvec runs in original ordering)."""
 
     def tri(Lc, rf):
         pad = plan.nrow_tot - rf.shape[0]
         if pad:  # zero-extend to the padded length (exact-zero solves)
             rf = jnp.concatenate([rf, jnp.zeros((pad,), rf.dtype)])
         rfp = rf[jnp.asarray(plan.perm_ext)]
-        yp = band_tri_solve(Lc, s_blk, w, rfp)
+        yp = band_tri_solve(plan, Lc, rfp)
         return yp[jnp.asarray(plan.invp_ext)]
 
     return tri
@@ -305,7 +389,7 @@ class DeviceBandCholSolver:
     """Factorize-once / backsolve-N-times on the device, sparse-direct
     edition: drop-in sibling of
     :class:`~sanm_tpu.solver.linear.DeviceCholSolver` with the dense
-    n^2 factor replaced by the RCM band factor.  Same external
+    n^2 factor replaced by the RCM skyline factor.  Same external
     contract: ``factor_ok()`` flags an indefinite state (driver falls
     back to host LU), ``solve`` runs f32 backsub + f64 refinement."""
 
@@ -328,7 +412,7 @@ class DeviceBandCholSolver:
 
         def factor(data):
             Bb, s = assemble_band_scaled_neg(plan, assembler, data)
-            Lb = band_cholesky(Bb, plan.s, plan.w)
+            Lb = band_cholesky(plan, Bb)
             return Lb, s
 
         self._factor_jit = jit_hoist_consts(factor)
@@ -343,12 +427,7 @@ class DeviceBandCholSolver:
         self._solve_jit = jit_hoist_consts(solve)
 
     def factor_ok(self) -> bool:
-        diag = jax.jit(
-            lambda L: jnp.isfinite(
-                L.reshape(-1)[jnp.asarray(self.plan.diag_idx)]
-            ).all()
-        )(self._L)
-        return bool(diag)
+        return bool(jax.jit(band_factor_ok)(self._L))
 
     def solve(self, b):
         return self._solve_jit(self._L, self._s, self._data,

@@ -495,8 +495,9 @@ def chol_refine_solve(L, s, data, b, matvec, refine_steps: int,
         safe = jnp.where(scale > 0, scale, 1.0)
         rf = ((r / safe) * s).astype(jnp.float32)
         # dense factors (2-D) may be padded past n (chol_pad_n); the
-        # band factor is 3-D column panels whose tri hook pads itself
-        if L.ndim == 2 and L.shape[0] != rf.shape[0]:
+        # skyline factor is a tuple of per-run column-panel stacks
+        # whose tri hook pads itself
+        if hasattr(L, "ndim") and L.ndim == 2 and L.shape[0] != rf.shape[0]:
             rf = jnp.concatenate(
                 [rf, jnp.zeros((L.shape[0] - rf.shape[0],), rf.dtype)]
             )

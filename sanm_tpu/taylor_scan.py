@@ -201,7 +201,14 @@ class ScanEngine:
 
         mode = os.environ.get("SANM_CONV_REDUCE", "auto")
         if mode == "auto":
-            mode = "bsum" if terms.dtype == jnp.float64 else "tensordot"
+            # the retiling pathology is a TPU emulated-f64 artifact; on
+            # the CPU backend (tests, virtual meshes) native-f64 dots win
+            mode = (
+                "bsum"
+                if terms.dtype == jnp.float64
+                and jax.default_backend() != "cpu"
+                else "tensordot"
+            )
         if mode == "bsum":
             wb = w.reshape((-1,) + (1,) * (terms.ndim - 1))
             return jnp.sum(wb * terms, axis=0)
@@ -225,7 +232,7 @@ class ScanEngine:
         w = mask.astype(terms.dtype)
         if weight is not None:
             w = w * weight(idx.astype(terms.dtype), k)
-        return jnp.tensordot(w, terms, axes=(0, 0))
+        return self._wreduce(w, terms)
 
     def buf_conv(self, carry, bufA, bufB, k, combine=None, lo=1,
                  weight=None):
@@ -238,7 +245,7 @@ class ScanEngine:
         w = mask.astype(terms.dtype)
         if weight is not None:
             w = w * weight(idx.astype(terms.dtype), k)
-        return jnp.tensordot(w, terms, axes=(0, 0))
+        return self._wreduce(w, terms)
 
     def buf_conv_sym(self, carry, buf, k, combine):
         """``sum_{i=1..k-1} combine(buf[i], buf[k-i])`` for self-
@@ -258,7 +265,7 @@ class ScanEngine:
         mask = (idx >= 1) & (2 * idx < k)
         Bg = jnp.take(buf, jnp.clip(k - idx, 0, self.cap), axis=0)
         terms = jax.vmap(combine)(buf[:h], Bg)
-        C = jnp.tensordot(mask.astype(terms.dtype), terms, axes=(0, 0))
+        C = self._wreduce(mask.astype(terms.dtype), terms)
         res = C + jnp.swapaxes(C, -1, -2)
         mid_i = k // 2
         a_mid = jax.lax.dynamic_index_in_dim(

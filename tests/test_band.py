@@ -14,6 +14,7 @@ from sanm_tpu.solver.band import (
     DeviceBandCholSolver,
     assemble_band_scaled_neg,
     band_cholesky,
+    band_factor_ok,
     band_tri_solve,
     band_tri_solve_fn,
 )
@@ -79,12 +80,16 @@ def test_band_factor_solve_matches_numpy():
     asm = _StubAssembler(A)
     plan = BandPlan(asm.csr_rowidx, asm.csr_cols, n)
     assert plan.w * plan.s >= plan.bw
+    # runs tile the block columns exactly, widths within the band
+    assert plan.runs[0][0] == 0
+    assert sum(ln for _, ln, _ in plan.runs) == plan.nb
+    for (j0, ln, wr), (j0n, _, _) in zip(plan.runs, plan.runs[1:]):
+        assert j0 + ln == j0n
+        assert 0 <= wr <= plan.w
     data = asm.data()
     Bb, s = assemble_band_scaled_neg(plan, asm, data)
-    Lb = band_cholesky(Bb, plan.s, plan.w)
-    assert bool(jnp.isfinite(
-        Lb.reshape(-1)[jnp.asarray(plan.diag_idx)]
-    ).all())
+    Lb = band_cholesky(plan, Bb)
+    assert bool(band_factor_ok(Lb))
 
     b = rng.standard_normal(n)
     x = chol_refine_solve(
@@ -103,11 +108,11 @@ def test_band_tri_solve_pad_zeros():
     asm = _StubAssembler(A)
     plan = BandPlan(asm.csr_rowidx, asm.csr_cols, n)
     Bb, s = assemble_band_scaled_neg(plan, asm, asm.data())
-    Lb = band_cholesky(Bb, plan.s, plan.w)
+    Lb = band_cholesky(plan, Bb)
     rhs = jnp.zeros((plan.nrow_tot,), jnp.float32).at[:n].set(
         jnp.asarray(rng.standard_normal(n), jnp.float32)
     )
-    y = band_tri_solve(Lb, plan.s, plan.w, rhs)
+    y = band_tri_solve(plan, Lb, rhs)
     assert bool(jnp.all(y[n:] == 0.0))
 
 
