@@ -339,6 +339,7 @@ class _ANMDriverBase:
         from ..jit_util import jit_hoist_consts
 
         self._hyb_split = split
+        self._hyb_raw = (jac_asm, prepare_light)
         self._hyb = (
             jit_hoist_consts(jac_asm),
             # two-level loop: half-capacity step for orders k <= split,
@@ -623,6 +624,12 @@ class _ANMDriverBase:
         if self._fact_reusable(getattr(self, "_fact", None), xt0_np):
             return
         jac_asm = self._hybrid_fns()[0]
+        if self._solver_mode() not in ("dense_chol", "band_chol"):
+            # start the prepare_light/step compile threads BEFORE the
+            # inline jac_asm compile below so all first-restart compiles
+            # overlap (see _cold_warm; the devloop paths have their own
+            # program set and skip this)
+            self._cold_warm(xt0_np)
         self._prefetched = (xt0_np.copy(), jac_asm(jnp.asarray(xt0_np)))
 
     def _take_prefetched_jac(self, xt0_np):
@@ -760,6 +767,97 @@ class _ANMDriverBase:
             return lambda b: lu.solve(A.T @ b)
         return host_splu(A.tocsc()).solve
 
+    def _cold_warm(self, xt0_np):
+        """Overlap the first-restart XLA compiles in background threads.
+
+        Cold-start accounting (armadillo-small NHC gravity, cache-cold,
+        solo, JAX_LOG_COMPILES): 133 s of a 185 s run is four SERIAL
+        XLA compiles — prepare_light 62 s, jac_asm 41 s, step_fn 15 s +
+        13 s (the k=1 caches=None variant and the k>=2 variant are
+        structurally different programs).  All four are independent, so
+        this launches, alongside the main thread's jac_asm + host
+        factorization:
+
+        * a thread running the REAL ``prepare_light(xt0)`` (its result
+          is stashed and consumed by ``_expand_hybrid``, so the 62 s
+          compile overlaps instead of following jac_asm's), and
+        * a thread compiling every step-program variant against dummy
+          zero inputs whose shapes come from ``jax.eval_shape`` on the
+          raw prepare_light (donated dummies; results discarded).
+
+        The reference has no analog cost at all (no JIT,
+        ``fea/main.cpp:1104-1119``).  One-shot per solver instance —
+        warm restarts hit the in-process jit cache and need none of
+        this.  A thread failure only forfeits the overlap (the real
+        call then compiles inline), so thread errors are swallowed.
+        ``SANM_WARM=0`` disables for A/B."""
+        import os
+        import threading
+
+        if getattr(self, "_warm_started", False):
+            return
+        self._warm_started = True
+        if os.environ.get("SANM_WARM", "1") == "0":
+            return
+        _, step_small, _, step_fn, prepare_light = self._hybrid_fns()
+        _, prep_raw = self._hyb_raw
+        split = self._hyb_split
+        order = self.hp.order
+        xt0 = jnp.asarray(xt0_np)
+
+        def _zeros(tree):
+            return jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), tree
+            )
+
+        box = {"x0": xt0_np.copy()}
+
+        def _prep():
+            try:
+                box["out"] = prepare_light(xt0)
+            except Exception:  # pragma: no cover - overlap is optional
+                pass
+
+        def _steps():
+            try:
+                sh = jax.eval_shape(prep_raw, xt0)
+                carry, aux0 = _zeros(sh)
+                xt_k = jnp.zeros((self.n + 1,), jnp.float64)
+                step1 = step_fn if split is None else step_small
+                carry, _, caches = step1(carry, aux0, 1, xt_k, None)
+                if split is None:
+                    if order >= 2:
+                        step_fn(carry, aux0, 2, xt_k, caches)
+                    return
+                if split >= 2:  # half-capacity k>=2 variant
+                    carry, _, caches = step_small(
+                        carry, aux0, 2, xt_k, caches
+                    )
+                # promote + the full-capacity variant used after it
+                carry = self._hyb[2](carry)
+                step_fn(carry, aux0, split + 1, xt_k, caches)
+            except Exception:  # pragma: no cover - overlap is optional
+                pass
+
+        tp = threading.Thread(target=_prep, daemon=True)
+        ts = threading.Thread(target=_steps, daemon=True)
+        tp.start()
+        ts.start()
+        self._warm_prep = (tp, box)
+
+    def _take_warm_prep(self, xt0_np):
+        """Join the prepare_light warm thread and return its result if
+        it ran on this exact start point; None otherwise.  One-shot."""
+        wp = getattr(self, "_warm_prep", None)
+        self._warm_prep = None
+        if wp is None:
+            return None
+        tp, box = wp
+        if not np.array_equal(box["x0"], xt0_np):
+            return None
+        tp.join()
+        return box.get("out")
+
     def _expand_hybrid(self, xt0_np, v_np):
         """Full expansion with host-side sparse direct solves."""
         import scipy.sparse as sp
@@ -788,11 +886,15 @@ class _ANMDriverBase:
         self._last_fact_reused = reuse
         if reuse:
             with ScopedProfiler("build_sparse_coeff", block=True):
-                carry, aux = prepare_light(xt0)
+                wp = self._take_warm_prep(xt0_np)
+                carry, aux = (
+                    wp if wp is not None else prepare_light(xt0)
+                )
             A = fact["A"]
             solve = fact["solve"]
             gt_asm_np = fact["gt_asm"]
         else:
+            self._cold_warm(xt0_np)  # no-op if prefetch started it
             pre = self._take_prefetched_jac(xt0_np)
             # dispatch order matters: prepare_light goes to the device
             # queue right behind the Jacobian/assembly and is NOT waited
@@ -803,7 +905,10 @@ class _ANMDriverBase:
                 data, gt_asm, _E = (
                     pre if pre is not None else jac_asm(xt0)
                 )
-                carry, aux = prepare_light(xt0)
+                wp = self._take_warm_prep(xt0_np)
+                carry, aux = (
+                    wp if wp is not None else prepare_light(xt0)
+                )
             with ScopedProfiler("sparse_prep"):
                 if self._solver_mode() == "cg":
                     # device-resident PCG, host-driven in fixed-trip
@@ -1144,10 +1249,12 @@ class _ANMDriverBase:
             with ScopedProfiler("eval_fx0_np"):
                 fx = self._eval_fx_np(self.xt0)
             if not self.on_fx0_computed(np.asarray(fx)):
-                # drop the speculative Jacobian dispatch: nothing will
-                # consume it and it pins device buffers for the
-                # solver's remaining lifetime otherwise
+                # drop the speculative Jacobian dispatch and any warm
+                # prepare_light result: nothing will consume them and
+                # they pin device buffers for the solver's remaining
+                # lifetime otherwise
                 self._prefetched = None
+                self._warm_prep = None
                 self.xt_coeffs = self.xt0[None, :]
                 return
             try:
