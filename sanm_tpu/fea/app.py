@@ -308,6 +308,11 @@ def run_and_save(
         from ..utils import compile_guard
 
         cg_mode = os.environ.get("SANM_COMPILE_GUARD", "")
+        # any _cold_warm background compile threads must finish before
+        # the clock starts: on the 1-core host a straggler compile
+        # steals the core from the timed re-solve (measured as
+        # sparse_prep 9.4 s vs 3.7 s per restart on human ARAP)
+        getattr(solver, "join_warm_threads", lambda: None)()
         runs = []
         for _ in range(_warm_repeat_count()):
             sp0 = ScopedProfiler.total(

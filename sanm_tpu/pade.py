@@ -152,8 +152,13 @@ class PadeApproximation:
                 left = start * 2
             else:
                 right = start * 2
+        # bisection tolerance is RELATIVE to the search interval scale
+        # (an absolute 1e-3 over-resolves tiny ranges and under-resolves
+        # large ones; the reference bisects a fixed 8 rounds,
+        # pade.cpp:152-167 — 8 rounds at relative 2^-8 ~ 4e-3 matches)
+        tol = max(1e-3 * right, 1e-12)
         it = 0
-        while it < 8 and right - left > 1e-3:
+        while it < 8 and right - left > tol:
             mid = 0.5 * (left + right)
             if check(mid):
                 left = mid

@@ -790,7 +790,16 @@ class _ANMDriverBase:
         warm restarts hit the in-process jit cache and need none of
         this.  A thread failure only forfeits the overlap (the real
         call then compiles inline), so thread errors are swallowed.
-        ``SANM_WARM=0`` disables for A/B."""
+        ``SANM_WARM=0`` disables for A/B.
+
+        Gated OFF for svd-bearing (two-level) graphs: on the 1-core
+        host the background tracing/compiles contend with the svd
+        path's heavy host work (NumPy f(x0), splu) instead of hiding
+        behind it — measured human ARAP gravity cold 984 s WITH the
+        threads vs 462 s without, and the contention bled into the
+        warm samples (sparse_prep 9.4 s vs 3.7 s per restart).  The
+        win case is the Neo-Hookean class (armadillo NHC cache-cold
+        185 s -> 113 s), which is exactly ``split is None``."""
         import os
         import threading
 
@@ -798,6 +807,10 @@ class _ANMDriverBase:
             return
         self._warm_started = True
         if os.environ.get("SANM_WARM", "1") == "0":
+            return
+        if self._hyb_split is not None and os.environ.get(
+            "SANM_WARM", ""
+        ) != "1":
             return
         _, step_small, _, step_fn, prepare_light = self._hybrid_fns()
         _, prep_raw = self._hyb_raw
@@ -844,6 +857,17 @@ class _ANMDriverBase:
         tp.start()
         ts.start()
         self._warm_prep = (tp, box)
+        self._warm_threads = (tp, ts)
+
+    def join_warm_threads(self):
+        """Block until any `_cold_warm` background compiles finish.
+
+        Warm-timing harnesses call this before starting the clock so a
+        still-running compile thread cannot steal the (single) host
+        core from the timed re-solve."""
+        for t in getattr(self, "_warm_threads", ()):
+            t.join()
+        self._warm_threads = ()
 
     def _take_warm_prep(self, xt0_np):
         """Join the prepare_light warm thread and return its result if
