@@ -37,6 +37,15 @@ def load_cells(root):
                 if "time_solve" in v or "time" in v:
                     best = v
                     break
+            if best is None:
+                # reference-protocol N/A or deterministic infeasibility
+                # (run_experiments.protocol_na_reason and the
+                # inverted-init catch): a structured non-blank cell
+                for key in ("protocol_na.json", "infeasible.json"):
+                    if key in stats:
+                        best = {"na": True,
+                                "reason": stats[key].get("reason", "")}
+                        break
             if best is None and "timeout.json" in stats:
                 # run killed at the cell budget: the wall time is a
                 # measured LOWER BOUND (run_experiments.py records it;
@@ -118,6 +127,9 @@ def main():
     print(f"{'cell':<50} {'time':>9} {'iter':>5} {'force_rms':>10}")
     for name in sorted(cells):
         s = cells[name]
+        if s.get("na"):
+            print(f"{name:<50} {'n/a':>9}  (protocol/infeasible)")
+            continue
         mark = ">=" if s.get("timed_out") else ""
         print(
             f"{name:<50} {mark + format(cell_time(s), '.3f'):>9} "
@@ -162,6 +174,8 @@ def main():
             for v in variants:
                 if v not in d:
                     row += f"{'-':>17}"
+                elif d[v].get("na"):
+                    row += f"{'n/a':>17}"
                 else:
                     t = cell_time(d[v])
                     mark = ">=" if d[v].get("timed_out") else ""
@@ -174,6 +188,8 @@ def main():
         lower = False
         for key, d in by_key.items():
             if "sanm" in d and base in d:
+                if d[base].get("na") or d["sanm"].get("na"):
+                    continue
                 r = cell_time(d[base]) / cell_time(d["sanm"])
                 ratios.append(r)
                 lower |= bool(d[base].get("timed_out"))

@@ -67,6 +67,28 @@ SOLVER_ENV = {
 }
 
 
+def protocol_na_reason(energy, solver, task):
+    """The reference's own protocol gates (cmp_with_baseline.sh:48-53):
+    Newton-family deform baselines run ONLY for ARAP — the NHC/NHI
+    deform init has inverted elements and the reference baseline
+    *throws* on J<=0 (neohookean_material.cpp:15-31 raise in
+    EnergyDensity/StressTensor, called unguarded from the first
+    get_stiffmat_and_force at baseline/main.cpp:269) — and LevMar runs
+    only on the gravity (force-equilibrium) task.  Returns the N/A
+    reason string, or None if the cell is in-protocol."""
+    if solver in ("baseline", "baseline_noproj") and task == "deform" \
+            and energy != "arap":
+        return ("reference protocol runs deform Newton baselines only "
+                "for ARAP (cmp_with_baseline.sh:48-50): the NHC/NHI "
+                "deform init has inverted elements and the baseline "
+                "material throws on J<=0 "
+                "(neohookean_material.cpp:15-31, baseline/main.cpp:269)")
+    if solver == "baseline_levmar" and task != "gravity":
+        return ("reference protocol runs LevMar only on the gravity "
+                "task (cmp_with_baseline.sh:51-53)")
+    return None
+
+
 def run_cell(out_dir, mesh, energy, solver, task, extra_env, timeout=None):
     cell = f"{mesh}-{energy}-{solver}-{task}"
     cell_dir = os.path.join(out_dir, cell)
@@ -75,6 +97,14 @@ def run_cell(out_dir, mesh, energy, solver, task, extra_env, timeout=None):
         print(f"[skip] {cell}")
         return True
     os.makedirs(cell_dir, exist_ok=True)
+    na = protocol_na_reason(energy, solver, task)
+    if na is not None:
+        with open(os.path.join(cell_dir, "protocol_na.json"), "w") as nf:
+            json.dump({"na": True, "reason": na, "solver": solver,
+                       "mesh": mesh, "energy": energy, "task": task}, nf)
+        open(done, "w").close()
+        print(f"[n/a ] {cell} (reference-protocol N/A)")
+        return True
     gravity_cfg, deform_cfg = MESH_TASKS[mesh]
     args = [
         sys.executable,
@@ -152,6 +182,25 @@ def run_cell(out_dir, mesh, energy, solver, task, extra_env, timeout=None):
         return False
     if ret == 0:
         open(done, "w").close()
+        return True
+    # Deterministic infeasibility (not a transient failure): the
+    # baseline cannot start from a configuration with inverted elements
+    # — the reference baseline throws identically (see
+    # protocol_na_reason).  Record it as the cell's datum.
+    try:
+        tail = open(log).read()[-4000:]
+    except OSError:
+        tail = ""
+    if solver.startswith("baseline") and \
+            "configuration with inverted elements" in tail:
+        with open(os.path.join(cell_dir, "infeasible.json"), "w") as nf:
+            json.dump({"na": True, "solver": solver, "mesh": mesh,
+                       "energy": energy, "task": task,
+                       "reason": "baseline infeasible: inverted elements "
+                       "at init (J<=0); reference baseline throws "
+                       "identically (neohookean_material.cpp:15-31)"}, nf)
+        open(done, "w").close()
+        print(f"[n/a ] {cell} (infeasible: inverted init)")
         return True
     print(f"[FAIL] {cell} (exit {ret}); see {log}")
     return False
