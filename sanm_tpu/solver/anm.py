@@ -163,7 +163,7 @@ class _ANMDriverBase:
         mode = self.hp.loop
         if mode == "auto":
             if self._solver_mode() in (
-                "host_lu", "cg", "dense_chol", "band_chol"
+                "host_lu", "cg", "dense_chol", "band_chol", "spike_band"
             ):
                 # hybrid: the device computes graph passes; the solves
                 # run between the per-order jits (host sparse LU, or a
@@ -446,6 +446,31 @@ class _ANMDriverBase:
                 L = band_cholesky(plan, Bb)
                 return L, s, band_factor_ok(L)
 
+        elif self._solver_mode() == "spike_band":
+            # SPIKE-partitioned sparse-direct path (solver/spike.py):
+            # same (L, s, ok) contract as band_chol, the P-partition
+            # batched substitutions behind the tri_solve hook.  Opt-in
+            # via SANM_SOLVER=spike_band; attacks the sequential
+            # panel-chain latency band_chol pays per order.
+            from .spike import (
+                SpikePlan,
+                assemble_spike_scaled_neg,
+                spike_factor,
+                spike_factor_ok,
+                spike_tri_solve_fn,
+            )
+
+            plan = getattr(self, "_spike_plan", None)
+            if plan is None or plan.n != n:
+                plan = SpikePlan(asm.csr_rowidx, asm.csr_cols, n)
+            self._spike_plan = plan
+            tri_solve = spike_tri_solve_fn(plan)
+
+            def factor(data):
+                Bloc, C, s = assemble_spike_scaled_neg(plan, asm, data)
+                F = spike_factor(plan, Bloc, C)
+                return F, s, spike_factor_ok(F)
+
         else:
             def factor(data):
                 # -(D A D) assembled straight into the (padded) factor
@@ -618,13 +643,14 @@ class _ANMDriverBase:
             return
         xt0_np = self.xt0
         if self._solver_mode() in (
-            "dense_chol", "band_chol"
+            "dense_chol", "band_chol", "spike_band"
         ) and self._fact_reusable(getattr(self, "_fact_dev", None), xt0_np):
             return
         if self._fact_reusable(getattr(self, "_fact", None), xt0_np):
             return
         jac_asm = self._hybrid_fns()[0]
-        if self._solver_mode() not in ("dense_chol", "band_chol"):
+        if self._solver_mode() not in ("dense_chol", "band_chol",
+                                       "spike_band"):
             # start the prepare_light/step compile threads BEFORE the
             # inline jac_asm compile below so all first-restart compiles
             # overlap (see _cold_warm; the devloop paths have their own
@@ -890,7 +916,7 @@ class _ANMDriverBase:
         hp = self.hp
         n = self.n
         if self._solver_mode() in (
-            "dense_chol", "band_chol"
+            "dense_chol", "band_chol", "spike_band"
         ) and not hp.xcoeff_l2_penalty:
             out = self._expand_hybrid_devloop(xt0_np, v_np)
             if out is not None:
@@ -1240,6 +1266,10 @@ class _ANMDriverBase:
             from .band import DeviceBandCholSolver
 
             return DeviceBandCholSolver(asm, data, l2_penalty=pen)
+        if mode == "spike_band":
+            from .spike import DeviceSpikeBandSolver
+
+            return DeviceSpikeBandSolver(asm, data, l2_penalty=pen)
         raise SANMError(f"unknown solver mode {mode}")
 
     # -- host control -----------------------------------------------------
@@ -1292,7 +1322,8 @@ class _ANMDriverBase:
                     self._expand_and_check()
                 elif (
                     self._loop_mode() == "hybrid"
-                    and self._solver_mode() in ("dense_chol", "band_chol")
+                    and self._solver_mode() in ("dense_chol", "band_chol",
+                                                "spike_band")
                 ):
                     # the f32-factor devloop passed its isfinite gate
                     # but the expansion failed the order checks — the

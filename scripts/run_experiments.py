@@ -59,11 +59,13 @@ SOLVER_OVERRIDES = {
     # factorization path; see sanm_tpu/solver/linear.py + band.py)
     "sanm_band": [],
     "sanm_dense_chol": [],
+    "sanm_spike": [],
 }
 
 SOLVER_ENV = {
     "sanm_band": {"SANM_SOLVER": "band_chol"},
     "sanm_dense_chol": {"SANM_SOLVER": "dense_chol"},
+    "sanm_spike": {"SANM_SOLVER": "spike_band"},
 }
 
 

@@ -105,7 +105,7 @@ class TestAssembler:
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "mode", ["host_lu", "cg", "dense_chol", "band_chol"]
+    "mode", ["host_lu", "cg", "dense_chol", "band_chol", "spike_band"]
 )
 def test_solver_backends_match_dense(mode):
     body, f_load = make_problem()
