@@ -239,7 +239,13 @@ def uband_tri_solve(shim, panels, R):
     panels (the local per-partition factor): blocked forward/backward
     substitution on a 2-D RHS ``R (rows_loc, k)`` — matrix edition of
     ``band_tri_solve`` (band.py:321-366), k right-hand sides per panel
-    step so the substitutions are MXU GEMMs."""
+    step so the substitutions are MXU GEMMs.
+
+    All matmuls run at ``precision='highest'`` (enforced by the
+    ``default_matmul_precision`` scope in the callers): the TPU's
+    default f32 matmul is a bf16-pass approximation, measured to sink
+    the f32 factor below the refinement gate's quality bar (the same
+    rule band.py applies per-einsum)."""
     (j0, ln, wr), = shim.runs
     s_blk = shim.s
 
@@ -282,6 +288,11 @@ def spike_factor(plan: SpikePlan, Bloc, C):
     """Numeric phase (once per restart): batched local band Cholesky,
     spike computation, and the reduced block-Thomas precompute.
     Returns the factor pytree consumed by :func:`spike_tri_solve`."""
+    with jax.default_matmul_precision("highest"):
+        return _spike_factor_impl(plan, Bloc, C)
+
+
+def _spike_factor_impl(plan: SpikePlan, Bloc, C):
     from .band import band_cholesky
 
     shim = plan._shim
@@ -357,6 +368,11 @@ def spike_tri_solve(plan: SpikePlan, F, rf):
     internally): batched local solve, reduced Thomas recursion,
     rank-b recombination.  ``rf`` is length n (or longer, zero-pad
     tolerated); returns length ``P*m`` — callers slice ``[:n]``."""
+    with jax.default_matmul_precision("highest"):
+        return _spike_tri_solve_impl(plan, F, rf)
+
+
+def _spike_tri_solve_impl(plan: SpikePlan, F, rf):
     P, m, b = plan.P, plan.m, plan.b
     ntot = P * m
     pad = ntot - rf.shape[0]
